@@ -1,0 +1,156 @@
+"""GFA assembly-graph I/O and the host-side graph data model.
+
+Covers the reference's GFA handling: `parse_assembly`/`output_GFA`
+(`src/input_output.cpp:120-264,1046-1070`), `fa2gfa`/`gfa2fa`
+(`src/fa2gfa.cpp`, `src/gfa2fa.cpp`) and the 300 kb chunking of long contigs
+(`src/cut_gfa.py:41-69`, invoked at `hairsplitter.py:581-596`).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Link:
+    """A GFA L-line. end1/end2: which end of the segment the link leaves from
+    (1 = the 3' end / '+' orientation side, 0 = the 5' end)."""
+
+    name1: str
+    orient1: str  # '+' or '-'
+    name2: str
+    orient2: str
+    cigar: str = "0M"
+
+    def key(self) -> tuple:
+        a = (self.name1, self.orient1, self.name2, self.orient2)
+        b = (self.name2, _flip(self.orient2), self.name1, _flip(self.orient1))
+        return min(a, b)
+
+
+def _flip(o: str) -> str:
+    return "-" if o == "+" else "+"
+
+
+@dataclass
+class AssemblyGraph:
+    segments: dict[str, str] = field(default_factory=dict)  # name -> sequence
+    depths: dict[str, float] = field(default_factory=dict)  # name -> coverage depth
+    links: list[Link] = field(default_factory=list)
+    tags: dict[str, list[str]] = field(default_factory=dict)  # extra S-line tags
+
+    def add_segment(self, name: str, seq: str, depth: float | None = None, tags=()) -> None:
+        self.segments[name] = seq
+        if depth is not None:
+            self.depths[name] = depth
+        if tags:
+            self.tags[name] = list(tags)
+
+    def add_link(self, link: Link) -> None:
+        self.links.append(link)
+
+    def links_of(self, name: str) -> list[Link]:
+        return [l for l in self.links if l.name1 == name or l.name2 == name]
+
+    def remove_segment(self, name: str) -> None:
+        self.segments.pop(name, None)
+        self.depths.pop(name, None)
+        self.tags.pop(name, None)
+        self.links = [l for l in self.links if l.name1 != name and l.name2 != name]
+
+    def dedupe_links(self) -> None:
+        seen: set[tuple] = set()
+        out = []
+        for l in self.links:
+            k = l.key()
+            if k not in seen:
+                seen.add(k)
+                out.append(l)
+        self.links = out
+
+    def normalized(self) -> tuple:
+        """Canonical (segments, links) form for equality checks in tests
+        (sorted names, canonical link keys) — the mock-parity criterion."""
+        segs = tuple(sorted((n, s) for n, s in self.segments.items()))
+        links = tuple(sorted(l.key() for l in self.links))
+        return segs, links
+
+
+_DP_RE = re.compile(r"(?:dp|DP):f:([0-9.eE+-]+)|(?:DP|rd):i:([0-9]+)")
+
+
+def parse_gfa(path: str) -> AssemblyGraph:
+    g = AssemblyGraph()
+    with open(path) as f:
+        for line in f:
+            if line.startswith("S\t"):
+                parts = line.rstrip("\n").split("\t")
+                name, seq = parts[1], parts[2]
+                depth = None
+                extra = []
+                for tag in parts[3:]:
+                    m = _DP_RE.match(tag)
+                    if m:
+                        depth = float(m.group(1) or m.group(2))
+                    else:
+                        extra.append(tag)
+                g.add_segment(name, seq, depth, extra)
+            elif line.startswith("L\t"):
+                parts = line.rstrip("\n").split("\t")
+                cigar = parts[5] if len(parts) > 5 else "0M"
+                g.add_link(Link(parts[1], parts[2], parts[3], parts[4], cigar))
+    return g
+
+
+def write_gfa(g: AssemblyGraph, path: str) -> None:
+    with open(path, "w") as f:
+        for name in g.segments:
+            tags = list(g.tags.get(name, []))
+            if name in g.depths:
+                tags.insert(0, f"dp:f:{g.depths[name]:.6g}")
+            f.write("\t".join(["S", name, g.segments[name], *tags]) + "\n")
+        for l in g.links:
+            f.write(f"L\t{l.name1}\t{l.orient1}\t{l.name2}\t{l.orient2}\t{l.cigar}\n")
+
+
+def fasta_to_gfa(seqs: dict[str, str]) -> AssemblyGraph:
+    g = AssemblyGraph()
+    for name, seq in seqs.items():
+        g.add_segment(name, seq)
+    return g
+
+
+def gfa_to_fasta(g: AssemblyGraph) -> dict[str, str]:
+    return dict(g.segments)
+
+
+def cut_assembly(g: AssemblyGraph, max_len: int = 300_000) -> AssemblyGraph:
+    """Cut contigs longer than max_len into chained chunks named `name@k`.
+
+    Chunks are linked `+/+` with 0M overlaps and original links are remapped to
+    the first/last chunk — behavior of the reference's `cut_gfa.py:41-69`
+    ("to avoid memory issues", `hairsplitter.py:581-583`). For us it also bounds
+    the position axis of the device pileup tensors.
+    """
+    needs_cut = any(len(s) > max_len for s in g.segments.values())
+    out = AssemblyGraph()
+    n_chunks: dict[str, int] = {}
+    for name, seq in g.segments.items():
+        chunks = [seq[i : i + max_len] for i in range(0, len(seq), max_len)] or [""]
+        n_chunks[name] = len(chunks)
+        for k, chunk in enumerate(chunks):
+            new_name = f"{name}@{k}" if needs_cut else name
+            out.add_segment(new_name, chunk, g.depths.get(name), g.tags.get(name, ()))
+        if needs_cut:
+            for k in range(len(chunks) - 1):
+                out.add_link(Link(f"{name}@{k}", "+", f"{name}@{k+1}", "+", "0M"))
+    if not needs_cut:
+        out.links = list(g.links)
+        return out
+    for l in g.links:
+        # '+' leaves from the end of the segment -> last chunk; '-' from the start.
+        c1 = f"{l.name1}@{n_chunks[l.name1]-1}" if l.orient1 == "+" else f"{l.name1}@0"
+        c2 = f"{l.name2}@0" if l.orient2 == "+" else f"{l.name2}@{n_chunks[l.name2]-1}"
+        out.add_link(Link(c1, l.orient1, c2, l.orient2, l.cigar))
+    return out
