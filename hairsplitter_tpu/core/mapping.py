@@ -1,0 +1,263 @@
+"""Read→assembly mapping: seeding + chaining + batched banded DP + stitching.
+
+This is the framework's replacement for the reference's stage-2 shell-out
+(`hairsplitter.py:629-630`: `minimap2 -a --secondary=no -M 0.05 -Y` piped
+through awk). Chains of exact minimizer anchors pin the alignment; the base
+pairs between consecutive pins become fixed-shape banded-DP chunks that are
+batched across all reads into single device calls; chunk CIGARs are stitched
+on host. Reads may produce several alignments on disjoint intervals
+(primary + supplementary semantics, `src/input_output.cpp:472-476`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import encode_seq, revcomp_codes
+from ..io.cigar import compress_cigar
+from ..ops.align import (
+    BandSpec,
+    Q_SENTINEL,
+    T_SENTINEL,
+    banded_align_batch,
+    readout,
+    traceback_batch,
+)
+from .datatypes import Alignment
+from .seeding import MinimizerIndex, find_chains
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    k: int = 15
+    w: int = 10
+    spec: BandSpec = field(default_factory=BandSpec)
+    min_anchors: int = 4
+    max_occ: int = 64
+    batch: int = 512  # device batch bucket
+    # minimum identity to keep an alignment (minimap2 -M-ish sanity filter)
+    max_divergence: float = 0.35
+
+    @property
+    def maxdrift(self) -> int:
+        return min(self.spec.dl, self.spec.dr) - 8
+
+
+def select_pins(qa: np.ndarray, ta: np.ndarray, cfg: MapConfig) -> list[tuple[int, int]]:
+    """Subset of chain anchors used as exact pins between DP chunks.
+
+    Greedy: reach as far as the chunk geometry allows; across anchor deserts
+    synthesize interpolated pins (approximate, absorbed by the band)."""
+    B = cfg.spec.chunk
+    T = cfg.spec.t_width
+    md = cfg.maxdrift
+    pins = [(int(qa[0]), int(ta[0]))]
+    idx = 0
+    n = qa.size
+    while idx < n - 1:
+        best = None
+        for j2 in range(idx + 1, n):
+            dq = int(qa[j2] - qa[idx])
+            dt = int(ta[j2] - ta[idx])
+            if dq > B or dt > T or abs(dt - dq) > md:
+                break
+            best = j2
+        if best is None:
+            nxt = idx + 1
+            dq = int(qa[nxt] - qa[idx])
+            dt = int(ta[nxt] - ta[idx])
+            npieces = max(
+                math.ceil(dq / B), math.ceil(dt / T), math.ceil(abs(dt - dq) / max(1, md)), 1
+            )
+            for m in range(1, npieces + 1):
+                pins.append(
+                    (int(qa[idx] + round(dq * m / npieces)), int(ta[idx] + round(dt * m / npieces)))
+                )
+            idx = nxt
+        else:
+            pins.append((int(qa[best]), int(ta[best])))
+            idx = best
+    # drop degenerate pins
+    out = [pins[0]]
+    for p in pins[1:]:
+        if p[0] > out[-1][0] and p[1] > out[-1][1]:
+            out.append(p)
+    return out
+
+
+@dataclass
+class _Job:
+    q: np.ndarray  # int8, len <= B
+    t: np.ndarray  # int8, len <= T
+    mode: int  # 0 global, 1 extension
+    reversed_: bool  # ops must be reversed before stitching (left extension)
+
+
+def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
+    """Align all jobs on device in fixed-shape batches; return per-job results
+    with expanded ops, cost and trailing-query soft clip length."""
+    spec = cfg.spec
+    B, T = spec.chunk, spec.t_width
+    results: list[dict] = [None] * len(jobs)
+    bucket = cfg.batch
+    for lo in range(0, len(jobs), bucket):
+        sub = jobs[lo : lo + bucket]
+        n = len(sub)
+        npad = max(16, 1 << (n - 1).bit_length())
+        qb = np.full((npad, B), Q_SENTINEL, dtype=np.int8)
+        tb = np.full((npad, T), T_SENTINEL, dtype=np.int8)
+        qlens = np.zeros(npad, dtype=np.int32)
+        tlens = np.zeros(npad, dtype=np.int32)
+        modes = np.zeros(npad, dtype=np.int32)
+        for i, job in enumerate(sub):
+            qb[i, : len(job.q)] = job.q
+            tb[i, : len(job.t)] = job.t
+            qlens[i] = len(job.q)
+            tlens[i] = len(job.t)
+            modes[i] = job.mode
+        res = banded_align_batch(qb, qlens, tb, tlens, spec)
+        cost, start_i, start_b, clip = readout(res, qlens, tlens, modes, spec)
+        ops_list = traceback_batch(np.asarray(res["bp"]), qb, tb, start_i, start_b, spec)
+        for i, job in enumerate(sub):
+            ops = ops_list[i]
+            if job.reversed_:
+                ops = ops[::-1]
+            results[lo + i] = {"ops": ops, "cost": int(cost[i]), "clip": int(clip[i])}
+    return results
+
+
+def map_reads(
+    contigs: dict[str, str],
+    read_seqs: list[str],
+    cfg: MapConfig = MapConfig(),
+    read_indices: list[int] | None = None,
+    index: MinimizerIndex | None = None,
+) -> list[Alignment]:
+    """Map every read against the contig set; returns accepted Alignments."""
+    contig_codes = {n: encode_seq(s) for n, s in contigs.items()}
+    if index is None:
+        index = MinimizerIndex.build(contig_codes, k=cfg.k, w=cfg.w, max_occ=cfg.max_occ)
+    if read_indices is None:
+        read_indices = list(range(len(read_seqs)))
+
+    jobs: list[_Job] = []
+    # (read_i, chain, oriented_codes, job span bookkeeping)
+    plans: list[dict] = []
+    B = cfg.spec.chunk
+    T = cfg.spec.t_width
+    dr = cfg.spec.dr
+
+    for ridx, seq in zip(read_indices, read_seqs):
+        codes = encode_seq(seq)
+        for chain in find_chains(index, codes, min_anchors=cfg.min_anchors):
+            oriented = codes if chain.strand == 1 else revcomp_codes(codes)
+            tcodes = contig_codes[index.contig_names[chain.contig_id]]
+            pins = select_pins(chain.q_anchors, chain.t_anchors, cfg)
+            plan = {
+                "read_idx": ridx,
+                "contig": index.contig_names[chain.contig_id],
+                "strand": chain.strand,
+                "qlen": len(codes),
+                "pins": pins,
+                "jobs": [],  # (job_index, kind)
+            }
+            q0, t0 = pins[0]
+            # left extension (reversed), pinned at the first anchor
+            p_avail = q0
+            p_used = min(p_avail, B)
+            if p_used > 0 and t0 > 0:
+                t_lo = max(0, t0 - (p_used + dr))
+                jobs.append(
+                    _Job(
+                        q=oriented[q0 - p_used : q0][::-1].copy(),
+                        t=tcodes[t_lo:t0][::-1].copy(),
+                        mode=1,
+                        reversed_=True,
+                    )
+                )
+                plan["jobs"].append((len(jobs) - 1, "left", p_used))
+            # global chunks between pins
+            for (qa, ta), (qb2, tb2) in zip(pins[:-1], pins[1:]):
+                jobs.append(
+                    _Job(q=oriented[qa:qb2].copy(), t=tcodes[ta:tb2].copy(), mode=0, reversed_=False)
+                )
+                plan["jobs"].append((len(jobs) - 1, "mid", 0))
+            # right extension from the last pin to the read end
+            qe, te = pins[-1]
+            s_avail = len(codes) - qe
+            s_used = min(s_avail, B)
+            if s_used > 0 and te < len(tcodes):
+                t_hi = min(len(tcodes), te + s_used + dr)
+                jobs.append(
+                    _Job(q=oriented[qe : qe + s_used].copy(), t=tcodes[te:t_hi].copy(), mode=1, reversed_=False)
+                )
+                plan["jobs"].append((len(jobs) - 1, "right", s_used))
+            plans.append(plan)
+
+    job_results = run_jobs(jobs, cfg)
+
+    alignments: list[Alignment] = []
+    for plan in plans:
+        pins = plan["pins"]
+        qlen = plan["qlen"]
+        q_start_o, t_start = pins[0]
+        q_end_o, t_end = pins[-1]
+        parts = []
+        nm = 0
+        for jid, kind, used in _iter_jobs(plan):
+            r = job_results[jid]
+            ops = r["ops"]
+            nm += r["cost"]
+            if kind == "left":
+                # ops were reversed already; any soft clip falls off the far
+                # (left) end of the walk, so consumption is just what's in ops
+                cq = int(np.sum(ops != 3))  # '=','X','I' consume query
+                ct = int(np.sum(ops != 2))  # '=','X','D' consume target
+                q_start_o = pins[0][0] - cq
+                t_start = pins[0][1] - ct
+                parts.insert(0, ops)
+            elif kind == "mid":
+                parts.append(ops)
+            else:  # right
+                cq = int(np.sum(ops != 3))
+                ct = int(np.sum(ops != 2))
+                q_end_o = pins[-1][0] + cq
+                t_end = pins[-1][1] + ct
+                parts.append(ops)
+        expanded = np.concatenate(parts) if parts else np.zeros(0, np.int8)
+        if expanded.size == 0:
+            continue
+        cops, clens = compress_cigar(expanded)
+        aligned_len = int(expanded.size)
+        if aligned_len == 0 or nm > cfg.max_divergence * aligned_len:
+            continue
+        # convert oriented-read coords to forward-read coords
+        if plan["strand"] == 1:
+            q_start, q_end = q_start_o, q_end_o
+        else:
+            q_start, q_end = qlen - q_end_o, qlen - q_start_o
+        alignments.append(
+            Alignment(
+                read_idx=plan["read_idx"],
+                contig=plan["contig"],
+                strand=plan["strand"],
+                q_start=int(q_start),
+                q_end=int(q_end),
+                t_start=int(t_start),
+                t_end=int(t_end),
+                cigar_ops=cops,
+                cigar_lens=clens,
+                nm=int(nm),
+            )
+        )
+    return alignments
+
+
+def _iter_jobs(plan):
+    # order: left first (so q_start/t_start are fixed before mids), then mids, then right
+    for jid, kind, *rest in plan["jobs"]:
+        used = rest[0] if rest else 0
+        yield jid, kind, used

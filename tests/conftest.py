@@ -6,11 +6,16 @@ SURVEY.md §4/§5.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the session environment pins JAX_PLATFORMS=axon (a
+# tunneled TPU with remote compilation), which makes unit tests slow and flaky.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# keep the axon PJRT plugin from even being discovered during tests
+sys.path = [p for p in sys.path if ".axon_site" not in p]
 
 import numpy as np
 import pytest
