@@ -1,0 +1,366 @@
+"""Stage 3: variant calling + robust filtering (reference `HS_call_variants`).
+
+Per contig: build dense pileup windows, run the device column-stat kernels,
+apply the suspect rules, then keep only *robust* variants — columns whose
+read partition recurs across columns. The reference does this with a
+sequential partition-augmentation loop (`src/call_variants.cpp:577-768`,
+`src/Partition.cpp`); here the same statistics are computed order-independently:
+all suspect columns are correlated pairwise with chi² on 2x2 contingency
+tables (dense matmuls over the read x column allele indicators), clustered by
+correlation, and clusters are scored with the reference's binomial p-value
+(`src/Partition.cpp:197-233`) and informativeness test (`:141-179`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import GAP, TRIMER_ABSENT, encode_seq
+from ..core.datatypes import Alignment
+from ..ops.variants import column_stats, suspect_mask, window_error_stats
+from .pileup import WINDOW, build_window_blocks, orient_read
+
+
+@dataclass
+class SparseColumn:
+    """One pileup column restricted to present reads (reference `Column`,
+    `src/Partition.h:8-30`). rows index the contig's alignment list."""
+
+    pos: int
+    top1: int  # trimer code of the majority allele
+    top2: int  # trimer code of the second allele
+    rows: np.ndarray
+    alleles: np.ndarray  # trimer codes, parallel to rows
+
+
+@dataclass
+class ContigVariants:
+    contig: str
+    length: int
+    depth: float
+    error_rate: float  # this contig's share (subs+dels over covered cells)
+    columns: list[SparseColumn] = field(default_factory=list)
+    n_reads: int = 0
+
+
+@dataclass
+class VariantCallConfig:
+    window: int = WINDOW
+    min_reads_suspect: int = 5
+    min_reads_suspect_hifi: int = 3
+    hifi_error_threshold: float = 0.015
+    auto_frac: float = 0.33  # reference -u (hairsplitter.py:36)
+    min_snp_spacing: int = 5
+    chi2_keep: float = 15.0
+    chi2_rescue: float = 20.0
+    max_partition_span: int = 50_000
+    p_value: float = 1e-3
+    error_cap: float = 0.15  # hairsplitter.py:691-692
+
+
+def _chi2_tables(n00, n01, n10, n11):
+    """Vectorized Pearson chi² on 2x2 tables (reference `computeChiSquare`,
+    `src/call_variants.cpp:1135-1163`): 0 when one margin is degenerate."""
+    n = n00 + n01 + n10 + n11
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p1 = (n10 + n11) / np.maximum(n, 1)
+        p2 = (n01 + n11) / np.maximum(n, 1)
+        e00 = (1 - p1) * (1 - p2) * n
+        e01 = (1 - p1) * p2 * n
+        e10 = p1 * (1 - p2) * n
+        e11 = p1 * p2 * n
+        chi = (
+            np.where(e00 > 0, (n00 - e00) ** 2 / np.maximum(e00, 1e-9), 0)
+            + np.where(e01 > 0, (n01 - e01) ** 2 / np.maximum(e01, 1e-9), 0)
+            + np.where(e10 > 0, (n10 - e10) ** 2 / np.maximum(e10, 1e-9), 0)
+            + np.where(e11 > 0, (n11 - e11) ** 2 / np.maximum(e11, 1e-9), 0)
+        )
+    degenerate = (p1 * (1 - p1) == 0) | (p2 * (1 - p2) == 0)
+    return np.where((n == 0) | degenerate, 0.0, chi)
+
+
+def _lncomb(n, k):
+    return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.p = list(range(n))
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[rb] = ra
+
+
+def robust_filter(
+    columns: list[SparseColumn],
+    rescue_pool: list[SparseColumn],
+    n_rows: int,
+    mean_error: float,
+    cfg: VariantCallConfig,
+) -> tuple[list[SparseColumn], list[np.ndarray]]:
+    """Keep columns whose read partition recurs; returns (kept, partitions).
+
+    partitions: per kept cluster, an int8 vector over contig rows with
+    +1 (second allele side), -1 (majority side), 0 (unseen/ambiguous)."""
+    S = len(columns)
+    if S == 0:
+        return [], []
+    A = np.zeros((S, n_rows), dtype=np.float32)  # second allele indicator
+    Rf = np.zeros((S, n_rows), dtype=np.float32)  # majority allele indicator
+    pos = np.array([c.pos for c in columns])
+    for s, c in enumerate(columns):
+        A[s, c.rows[c.alleles == c.top2]] = 1.0
+        Rf[s, c.rows[c.alleles == c.top1]] = 1.0
+    n11 = A @ A.T
+    n10 = A @ Rf.T
+    n01 = Rf @ A.T
+    n00 = Rf @ Rf.T
+    # phase: anti-correlated columns compare allele-flipped
+    flip = (n11 + n00) < (n10 + n01)
+    f11 = np.where(flip, n10, n11)
+    f10 = np.where(flip, n11, n10)
+    f01 = np.where(flip, n00, n01)
+    f00 = np.where(flip, n01, n00)
+    chi = _chi2_tables(f00, f01, f10, f11)
+    comparable = n00 + n01 + n10 + n11
+    m1 = f10 + f11
+    m2 = f01 + f11
+    balanced = (
+        (m1 > 0.1 * comparable)
+        & (m1 < 0.9 * comparable)
+        & (m2 > 0.1 * comparable)
+        & (m2 < 0.9 * comparable)
+    )
+    near = np.abs(pos[:, None] - pos[None, :]) <= cfg.max_partition_span
+    corr = (chi > cfg.chi2_keep) & balanced & near
+    np.fill_diagonal(corr, False)
+
+    uf = _UnionFind(S)
+    for s, t in zip(*np.nonzero(corr)):
+        if s < t:
+            uf.union(int(s), int(t))
+    clusters: dict[int, list[int]] = {}
+    for s in range(S):
+        clusters.setdefault(uf.find(s), []).append(s)
+
+    partitions: list[np.ndarray] = []
+    part_votes: list[tuple[np.ndarray, np.ndarray]] = []  # (alt votes, ref votes) per read
+    for members in clusters.values():
+        members.sort(key=lambda s: columns[s].pos)
+        anchor = members[0]
+        alt_votes = np.zeros(n_rows, dtype=np.int32)
+        ref_votes = np.zeros(n_rows, dtype=np.int32)
+        for s in members:
+            flipped = bool(flip[anchor, s]) if s != anchor else False
+            a_vec = Rf[s] if flipped else A[s]
+            r_vec = A[s] if flipped else Rf[s]
+            alt_votes += a_vec.astype(np.int32)
+            ref_votes += r_vec.astype(np.int32)
+        consensus = np.zeros(n_rows, dtype=np.int8)
+        consensus[alt_votes > ref_votes] = 1
+        consensus[ref_votes > alt_votes] = -1
+
+        if len(members) >= 2:
+            # the reference's binomial p-value (Partition::isSignificant)
+            more = np.maximum(alt_votes, ref_votes)
+            less = np.minimum(alt_votes, ref_votes)
+            consistent = (more > 1) & (less == 0)
+            m = int(np.sum(consistent & (consensus == 1)))
+            n = int(np.sum(consistent))
+            c = int(np.max(np.where(consistent & (consensus == 1), more, 0), initial=0))
+            if m == 0 or n == 0:
+                p_val = 0.0  # matches the reference's NaN->0 fall-through
+            else:
+                p_val = math.exp(
+                    math.log(m / n) * c * m + _lncomb(n, m) + _lncomb(S, c)
+                )
+            significant = p_val < cfg.p_value or len(members) > 2
+        else:
+            significant = True  # singleton partitions pass (reference behavior)
+        if not significant:
+            continue
+        # informativeness (Partition::isInformative): enough consistently
+        # deviating reads on both sides
+        votes = alt_votes + ref_votes
+        with np.errstate(invalid="ignore"):
+            thr = np.minimum(
+                0.5 * votes + 3 * np.sqrt(votes * 0.25), votes - 1
+            )
+        more = np.maximum(alt_votes, ref_votes)
+        suspicious = (votes > 0) & (more > thr)
+        side_alt = int(np.sum(suspicious & (consensus == 1)))
+        side_ref = int(np.sum(suspicious & (consensus == -1)))
+        total = side_alt + side_ref
+        need = mean_error * total / 2
+        if side_alt < need or side_ref < need:
+            continue
+        partitions.append(consensus)
+        part_votes.append((alt_votes, ref_votes))
+
+    if not partitions:
+        return [], []
+
+    # final keep: suspect columns correlating with a kept partition
+    P1 = np.stack([(p == 1).astype(np.float32) for p in partitions])  # [K, R]
+    P0 = np.stack([(p == -1).astype(np.float32) for p in partitions])
+    kept: list[SparseColumn] = []
+    kept_pos: set[int] = set()
+
+    def _column_partition_tables(cols_A, cols_R):
+        k11 = P1 @ cols_A.T
+        k10 = P1 @ cols_R.T
+        k01 = P0 @ cols_A.T
+        k00 = P0 @ cols_R.T
+        return k00, k01, k10, k11
+
+    k00, k01, k10, k11 = _column_partition_tables(A, Rf)
+    chi_fin = _chi2_tables(k00, k01, k10, k11)  # [K, S]
+    col_size = np.array([c.rows.size for c in columns])
+    enough = (k00 + k01 + k10 + k11) > 0.5 * col_size[None, :]
+    keep_col = ((chi_fin > cfg.chi2_keep) & enough).any(axis=0)
+    for s in np.nonzero(keep_col)[0]:
+        kept.append(columns[s])
+        kept_pos.add(columns[s].pos)
+
+    # rescue pass over non-suspect candidates (chi² > 20 vs a kept partition)
+    if rescue_pool:
+        Ar = np.zeros((len(rescue_pool), n_rows), dtype=np.float32)
+        Rr = np.zeros((len(rescue_pool), n_rows), dtype=np.float32)
+        for s, c in enumerate(rescue_pool):
+            Ar[s, c.rows[c.alleles == c.top2]] = 1.0
+            Rr[s, c.rows[c.alleles == c.top1]] = 1.0
+        r11 = P1 @ Ar.T
+        r10 = P1 @ Rr.T
+        r01 = P0 @ Ar.T
+        r00 = P0 @ Rr.T
+        chi_r = _chi2_tables(r00, r01, r10, r11)
+        ok = (
+            (chi_r > cfg.chi2_rescue) & (r10 + r00 > 4) & (r01 + r11 > 4)
+        ).any(axis=0)
+        for s in np.nonzero(ok)[0]:
+            if rescue_pool[s].pos not in kept_pos:
+                kept.append(rescue_pool[s])
+                kept_pos.add(rescue_pool[s].pos)
+
+    kept.sort(key=lambda c: c.pos)
+    return kept, partitions
+
+
+def call_variants_for_contig(
+    contig_name: str,
+    contig_seq: str,
+    alignments: list[Alignment],
+    read_seqs: dict[int, str],
+    cfg: VariantCallConfig = VariantCallConfig(),
+    mean_error_hint: float | None = None,
+) -> ContigVariants:
+    """Run stage 3 on one contig. read_seqs maps read_idx -> sequence."""
+    contig_codes = encode_seq(contig_seq)
+    oriented = [
+        orient_read(encode_seq(read_seqs[a.read_idx]), a.strand) for a in alignments
+    ]
+    blocks = build_window_blocks(len(contig_seq), alignments, oriented, cfg.window)
+
+    mism_total = 0
+    cells_total = 0
+    win_stats = []
+    for blk in blocks:
+        codes_w = np.full(cfg.window, 5, dtype=np.int8)
+        codes_w[: blk.length] = contig_codes[blk.start : blk.start + blk.length]
+        tc, tn, cov = column_stats(blk.tri)
+        mm, cc = window_error_stats(blk.tri, codes_w)
+        mism_total += int(mm)
+        cells_total += int(cc)
+        win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))
+
+    error_rate = mism_total / max(1, cells_total)
+    if mean_error_hint is not None:
+        error_rate = mean_error_hint
+    error_rate = min(error_rate, cfg.error_cap)
+    min_reads = (
+        cfg.min_reads_suspect_hifi
+        if error_rate < cfg.hifi_error_threshold
+        else cfg.min_reads_suspect
+    )
+
+    suspects: list[SparseColumn] = []
+    autos: list[SparseColumn] = []
+    rescue_pool: list[SparseColumn] = []
+    last_snp = -cfg.min_snp_spacing - 1
+    for blk, tc, tn, cov in win_stats:
+        sus, auto = suspect_mask(
+            tc.astype(np.int32),
+            tn.astype(np.int32),
+            np.int32(min_reads),
+            np.float32(cfg.auto_frac),
+        )
+        sus = np.asarray(sus)
+        auto = np.asarray(auto)
+        # rescue candidates: enough second-allele support to correlate, but
+        # not suspect (reference re-scans the whole MSA, :699-760)
+        central_ok = (tc[:, 0] // 25) != (tc[:, 1] // 25)
+        t2 = tc[:, 1]
+        hp_ok = ((t2 // 25) != GAP) | (
+            (((t2 // 5) % 5) != (tc[:, 0] // 25)) & ((t2 % 5) != (tc[:, 0] // 25))
+        )
+        resc = (~sus) & central_ok & hp_ok & (tn[:, 1] >= 3)
+        for p in np.nonzero(sus[: blk.length])[0]:
+            gpos = blk.start + int(p)
+            if gpos - last_snp <= cfg.min_snp_spacing:
+                continue
+            last_snp = gpos
+            col = _extract_column(blk, int(p), gpos, tc, tn)
+            suspects.append(col)
+            if auto[p]:
+                autos.append(col)
+        for p in np.nonzero(resc[: blk.length])[0]:
+            rescue_pool.append(_extract_column(blk, int(p), blk.start + int(p), tc, tn))
+
+    n_rows = len(alignments)
+    kept, partitions = robust_filter(suspects, rescue_pool, n_rows, error_rate, cfg)
+    merged: dict[int, SparseColumn] = {c.pos: c for c in kept}
+    for c in autos:  # automatic SNPs always pass (reference :531,1334-1352)
+        merged[c.pos] = c
+    columns = [merged[p] for p in sorted(merged)]
+
+    depth = cells_total / max(1, len(contig_seq))
+    cv = ContigVariants(
+        contig=contig_name,
+        length=len(contig_seq),
+        depth=depth,
+        error_rate=error_rate,
+        columns=columns,
+        n_reads=n_rows,
+    )
+    return cv
+
+
+def _extract_column(blk, p: int, gpos: int, tc, tn) -> SparseColumn:
+    col = blk.tri[:, p]
+    present = col != TRIMER_ABSENT
+    return SparseColumn(
+        pos=gpos,
+        top1=int(tc[p, 0]),
+        top2=int(tc[p, 1]),
+        rows=blk.rows[present],
+        alleles=col[present].copy(),
+    )
+
+
+def pooled_error_rate(contigs: list[ContigVariants]) -> float:
+    """Coverage-weighted global error rate (the psum-reduction point across
+    contig shards, reference `call_variants.cpp:1310-1316`)."""
+    num = sum(cv.error_rate * cv.depth * cv.length for cv in contigs)
+    den = sum(cv.depth * cv.length for cv in contigs)
+    return num / den if den else 0.0

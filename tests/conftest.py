@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # keep the axon PJRT plugin from even being discovered during tests
 sys.path = [p for p in sys.path if ".axon_site" not in p]
 
+# The axon sitecustomize runs register() at interpreter start, which force-sets
+# jax_platforms="axon,cpu" via jax.config (trumping the env var). Override it
+# back before any computation so tests really run on the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np
 import pytest
 
