@@ -1,0 +1,432 @@
+"""Stage 4: separate reads into haplotype groups (reference `HS_separate_reads`).
+
+Per contig: build read×SNP allele indicators from the kept variant columns,
+compute read×read similarity/difference matrices (device matmuls), then per
+2000-bp window build a kNN-style read graph, cluster it with Chinese Whispers
+seeded from every SNP column, merge/curate the clusterings, and emit groups
+that tile the contig (GRO semantics, `doc/README.md`).
+
+Behavioral constants follow `src/separate_reads.cpp`:
+  window 2000 (500/1000 for short reads, whole contig for amplicon :1484-1498),
+  spanning mask = present at first+last SNP of the window (:1590-1621),
+  edge rule / knee thresholds (:462-515), min cluster size 5 (:936),
+  merge unless ≥2 incompatible SNPs ≥10 bp apart (:1126-1291),
+  ploidy cap via hierarchical merge (:1341-1395).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.cluster import cw_numpy, sims_diffs
+from .call_variants import ContigVariants, SparseColumn
+
+
+@dataclass
+class SeparateConfig:
+    window: int = 2000
+    min_cluster_size: int = 5
+    amplicon: bool = False
+    max_coverage: int = 1000  # downsampling cap (reference: 50/abundance)
+    seed_snp_spacing: int = 10
+    use_device_matmul: bool = True
+
+
+def choose_window_size(read_spans: list[tuple[int, int]], cfg: SeparateConfig) -> int:
+    """Window size from read lengths (`src/separate_reads.cpp:1484-1498`):
+    2000 default, 1000/500 when reads are short."""
+    if not read_spans:
+        return cfg.window
+    lens = np.array([e - s + 1 for s, e in read_spans])
+    mean_len = float(lens.mean())
+    n_above_4000 = int((lens > 4000).sum())
+    size = cfg.window
+    if n_above_4000 < 20 and 2000 < mean_len < 4000:
+        size = 1000
+    elif n_above_4000 < 20 and mean_len < 2000:
+        size = 500
+    return size
+
+
+@dataclass
+class WindowGroups:
+    start: int
+    end: int  # inclusive, GRO convention
+    labels: np.ndarray  # int per contig read row: group id, -1 unclustered, -2 absent
+
+
+@dataclass
+class ContigGroups:
+    contig: str
+    length: int
+    depth: float
+    windows: list[WindowGroups] = field(default_factory=list)
+
+
+def _allele_indicators(columns: list[SparseColumn], n_rows: int):
+    S = len(columns)
+    A = np.zeros((n_rows, S), dtype=np.float32)
+    R = np.zeros((n_rows, S), dtype=np.float32)
+    for s, c in enumerate(columns):
+        A[c.rows[c.alleles == c.top2], s] = 1.0
+        R[c.rows[c.alleles == c.top1], s] = 1.0
+    return A, R
+
+
+def _sims_diffs_host(A, R):
+    sim = 3.0 * (A @ A.T) + R @ R.T
+    diff = A @ R.T + R @ A.T
+    np.fill_diagonal(sim, 0)
+    np.fill_diagonal(diff, 0)
+    return sim.astype(np.int32), diff.astype(np.int32)
+
+
+def create_read_graph(
+    mask: np.ndarray, sim: np.ndarray, diff: np.ndarray, error_rate: float
+) -> np.ndarray:
+    """Adjacency of very similar reads (reference `create_read_graph`,
+    `src/separate_reads.cpp:445-530`), vectorized per row."""
+    n = mask.size
+    adj = np.zeros((n, n), dtype=np.int8)
+    d_floor = min(1 - 2 * error_rate, 0.99)
+    idx = np.arange(n)
+    for r1 in idx[mask]:
+        s = sim[r1].astype(np.float64)
+        d = diff[r1].astype(np.float64)
+        valid = mask & (idx != r1) & (s > 0)
+        dist = np.zeros(n)
+        dd = np.maximum(0, d - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dist[valid] = 1 - dd[valid] / (s[valid] + d[valid])
+        max_compat = max(5.0, s[valid].max() if valid.any() else 0.0)
+        few = (s + d) < max(5.0, 0.7 * max_compat)
+        dist[few & valid] = 0
+        order = np.argsort(-dist, kind="stable")
+        dsorted = dist[order]
+        # knee threshold: d0 - 3*(d0 - d1)
+        link_thr = 1.0
+        if n > 1:
+            link_thr = dsorted[0] - (dsorted[0] - dsorted[1]) * 3
+        if link_thr == 1.0:
+            k = int(np.searchsorted(-dsorted, -1.0, side="right"))
+            if k < n:
+                k2 = min(k + 4, n - 1)
+                link_thr = dsorted[k2]
+        nb = 0
+        for j, dj in zip(order, dsorted):
+            if dj > d_floor and (nb < 5 or dj == 1 or dj >= link_thr) and mask[j]:
+                nb += 1
+                adj[r1, j] = 1
+                adj[j, r1] = 1
+    return adj
+
+
+def _seed_from_column(col: SparseColumn, mask: np.ndarray, n_rows: int) -> np.ndarray:
+    """Initial CW labels: reads sharing an allele share the label of the first
+    such read (`src/separate_reads.cpp:1674-1693`)."""
+    init = np.arange(n_rows, dtype=np.int64)
+    first_with_allele: dict[int, int] = {}
+    for r, a in zip(col.rows, col.alleles):
+        if mask[r]:
+            key = int(a)
+            if key not in first_with_allele:
+                first_with_allele[key] = int(r)
+            init[r] = first_with_allele[key]
+    return init
+
+
+def merge_clusterings(
+    local: list[np.ndarray], adj: np.ndarray, mask: np.ndarray
+) -> np.ndarray:
+    """Aggregate clusterings: identical cluster signatures → one label, then
+    one more CW pass (`src/separate_reads.cpp:840-885`; the reference hashes
+    signatures with powers of two — exact tuples here)."""
+    n = mask.size
+    if not local:
+        return np.where(mask, 0, -2)
+    sig_to_label: dict[tuple, int] = {}
+    agg = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        sig = tuple(int(lc[i]) for lc in local)
+        if sig not in sig_to_label:
+            sig_to_label[sig] = i  # label by first row with this signature
+        agg[i] = sig_to_label[sig]
+    agg[~mask] = -2
+    return cw_numpy(adj, agg, mask)
+
+
+def merge_close_clusters(adj: np.ndarray, labels: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Dissolve weak clusters by letting their nodes defect to neighboring
+    clusters; keep the result only if the cluster disappears entirely
+    (`src/cluster_graph.cpp:402-501`), deterministic node order."""
+    labels = labels.copy()
+    for cluster in sorted(set(labels[labels >= 0].tolist())):
+        new = labels.copy()
+        for _ in range(10):
+            changes = 0
+            for i in np.nonzero(mask & (new == cluster))[0]:
+                neigh = np.nonzero(adj[i])[0]
+                lab = new[neigh]
+                w = adj[i][neigh]
+                ok = lab >= 0
+                if not ok.any():
+                    continue
+                counts = np.bincount(lab[ok], weights=w[ok])
+                best = int(np.argmax(counts))
+                bv = counts[best]
+                counts2 = counts.copy()
+                counts2[best] = -1
+                second = int(np.argmax(counts2)) if counts2.size else 0
+                sv = counts2[second] if counts2.size else 0
+                if bv > 0 and best != cluster:
+                    new[i] = best
+                    changes += 1
+                elif bv > 0 and bv <= 2 * sv:
+                    new[i] = second
+                    changes += 1
+            if changes == 0:
+                break
+        if not (new == cluster).any():
+            labels = new
+    return labels
+
+
+def merge_wrongly_split(
+    labels: np.ndarray,
+    columns: list[SparseColumn],
+    adj: np.ndarray,
+    posstart: int,
+    posend: int,
+    min_incompat_spacing: int = 10,
+) -> np.ndarray:
+    """Merge clusters that no pair of well-separated SNPs distinguishes
+    (`src/separate_reads.cpp:1007-1341`)."""
+    groups = sorted(set(labels[labels >= 0].tolist()))
+    if len(groups) <= 1:
+        out = np.zeros_like(labels)
+        out[labels == -2] = -2
+        return out
+    gidx = {g: i for i, g in enumerate(groups)}
+    G = len(groups)
+    incompat = np.zeros((G, G), dtype=np.int64)
+    last_pos = np.full((G, G), -10, dtype=np.int64)
+    for col in columns:
+        if not (posstart <= col.pos < posend):
+            continue
+        # majority base per cluster: must beat 2x the second and 50% presence
+        maj: dict[int, int] = {}
+        for g in groups:
+            in_g = labels[col.rows] == g
+            if not in_g.any():
+                continue
+            vals, counts = np.unique(col.alleles[in_g], return_counts=True)
+            o = np.argsort(-counts, kind="stable")
+            mx = counts[o[0]]
+            second = counts[o[1]] if len(o) > 1 else 0
+            total = int(np.sum(labels == g))
+            if second * 2 > mx or 0.5 * total > mx:
+                continue
+            maj[g] = int(vals[o[0]])
+        if len(set(maj.values())) <= 1:
+            continue
+        for i, g1 in enumerate(groups):
+            for g2 in groups[:i]:
+                if g1 in maj and g2 in maj and maj[g1] != maj[g2]:
+                    if col.pos - last_pos[gidx[g1], gidx[g2]] > min_incompat_spacing:
+                        incompat[gidx[g1], gidx[g2]] += 1
+                        incompat[gidx[g2], gidx[g1]] += 1
+                        last_pos[gidx[g1], gidx[g2]] = col.pos
+                        last_pos[gidx[g2], gidx[g1]] = col.pos
+    # link fractions between clusters
+    links = np.zeros((G, G))
+    per_cluster = np.zeros(G)
+    r1s, r2s = np.nonzero(adj)
+    for r1, r2 in zip(r1s, r2s):
+        c1, c2 = labels[r1], labels[r2]
+        if c1 < 0 or c2 < 0:
+            continue
+        per_cluster[gidx[c1]] += 1
+        if c1 != c2:
+            links[gidx[c1], gidx[c2]] += 1
+    frac = links / np.maximum(per_cluster[:, None], 1)
+    pairs = [(frac[i, j], i, j) for i in range(G) for j in range(G) if i != j]
+    pairs.sort(key=lambda t: -t[0])
+    parent = list(range(G))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for f, i, j in pairs:
+        if f <= 0.01:
+            break
+        ri, rj = find(i), find(j)
+        if ri == rj:
+            continue
+        # incompatibility between any members of the two super-groups?
+        mi = [g for g in range(G) if find(g) == ri]
+        mj = [g for g in range(G) if find(g) == rj]
+        if any(incompat[a, b] > 1 for a in mi for b in mj):
+            continue
+        parent[rj] = ri
+    out = labels.copy()
+    renum: dict[int, int] = {}
+    for r in range(labels.size):
+        if labels[r] >= 0:
+            root = find(gidx[labels[r]])
+            if root not in renum:
+                renum[root] = len(renum)
+            out[r] = renum[root]
+    return out
+
+
+def merge_to_ploidy(labels: np.ndarray, adj: np.ndarray, max_haplotypes: int) -> np.ndarray:
+    """Hierarchically merge the two most-linked clusters until within the
+    ploidy cap (`src/separate_reads.cpp:1341-1395`)."""
+    labels = labels.copy()
+    while True:
+        groups = sorted(set(labels[labels >= 0].tolist()))
+        if len(groups) <= max_haplotypes:
+            break
+        gidx = {g: i for i, g in enumerate(groups)}
+        G = len(groups)
+        links = np.zeros((G, G))
+        r1s, r2s = np.nonzero(adj)
+        for r1, r2 in zip(r1s, r2s):
+            c1, c2 = labels[r1], labels[r2]
+            if c1 >= 0 and c2 >= 0 and c1 != c2:
+                links[gidx[c1], gidx[c2]] += 1
+        i, j = np.unravel_index(np.argmax(links), links.shape)
+        if links[i, j] == 0:
+            # no links at all: merge the two smallest clusters
+            sizes = [(np.sum(labels == g), g) for g in groups]
+            sizes.sort()
+            labels[labels == sizes[0][1]] = sizes[1][1]
+        else:
+            labels[labels == groups[j]] = groups[i]
+    # renumber
+    renum: dict[int, int] = {}
+    out = labels.copy()
+    for r in range(labels.size):
+        if labels[r] >= 0:
+            if labels[r] not in renum:
+                renum[labels[r]] = len(renum)
+            out[r] = renum[labels[r]]
+    return out
+
+
+def separate_reads_for_contig(
+    cv: ContigVariants,
+    read_spans: list[tuple[int, int]],  # (t_start, t_end) per contig read row
+    cfg: SeparateConfig = SeparateConfig(),
+    max_haplotypes: int = 0,
+) -> ContigGroups:
+    n_rows = cv.n_reads
+    length = cv.length
+    window = length if cfg.amplicon else choose_window_size(read_spans, cfg)
+    out = ContigGroups(contig=cv.contig, length=length, depth=cv.depth)
+
+    columns = cv.columns
+    if columns and n_rows:
+        A, R = _allele_indicators(columns, n_rows)
+        if cfg.use_device_matmul and n_rows >= 256:
+            sim, diff = map(np.asarray, sims_diffs(A, R))
+        else:
+            sim, diff = _sims_diffs_host(A, R)
+    else:
+        sim = diff = np.zeros((n_rows, n_rows), dtype=np.int32)
+
+    spans = np.asarray(read_spans, dtype=np.int64).reshape(n_rows, 2)
+    pos_arr = np.array([c.pos for c in columns], dtype=np.int64)
+
+    chunk = -1
+    while (chunk + 1) * window + 100 <= length or chunk < 0:
+        chunk += 1
+        start = chunk * window
+        upper = (chunk + 1) * window
+        if upper + 100 > length:
+            upper = length + 1
+        end = min(upper - 1, length)
+
+        in_win = (
+            np.nonzero((pos_arr >= start) & (pos_arr < upper - 1))[0]
+            if pos_arr.size
+            else np.zeros(0, np.int64)
+        )
+        # 20% margins on terminal windows (:1594-1612)
+        if chunk == 0 and in_win.size > 1:
+            w = upper - 1 - start if upper - 1 > start else window
+            keep = pos_arr[in_win] >= start + 0.2 * window
+            if keep.sum() >= 1 and (~keep).any():
+                first_keep = np.nonzero(keep)[0]
+                in_win = in_win[first_keep[0] :]
+        if upper == length + 1 and in_win.size > 1:
+            keep = pos_arr[in_win] <= (upper - 1) - 0.2 * window
+            if keep.sum() >= 1 and (~keep).any():
+                last_keep = np.nonzero(keep)[0]
+                in_win = in_win[: last_keep[-1] + 1]
+
+        if in_win.size == 0:
+            # no SNP: everyone covering the middle point joins group 0
+            labels = np.full(n_rows, -2, dtype=np.int64)
+            mid = (start + end) // 2
+            mid = max(mid, min(500, length // 2))
+            mid = min(mid, max(length // 2, length - 500))
+            covering = (spans[:, 0] <= mid) & (spans[:, 1] >= mid)
+            labels[covering] = 0
+            out.windows.append(WindowGroups(start, end, labels))
+            continue
+
+        first_col = columns[int(in_win[0])]
+        last_col = columns[int(in_win[-1])]
+        mask = np.zeros(n_rows, dtype=bool)
+        mask[first_col.rows] = True
+        last_set = np.zeros(n_rows, dtype=bool)
+        last_set[last_col.rows] = True
+        mask &= last_set
+
+        adj = create_read_graph(mask, sim, diff, cv.error_rate)
+
+        local = []
+        lastpos = -10 - cfg.seed_snp_spacing
+        for s in in_win:
+            col = columns[int(s)]
+            if col.pos <= lastpos + cfg.seed_snp_spacing:
+                continue
+            lastpos = col.pos
+            init = _seed_from_column(col, mask, n_rows)
+            local.append(cw_numpy(adj, init, mask))
+
+        merged = merge_clusterings(local, adj, mask)
+        # kill small clusters (-1 = unclustered, rescued downstream)
+        vals, counts = np.unique(merged[merged >= 0], return_counts=True)
+        small = set(vals[counts < cfg.min_cluster_size].tolist())
+        labels = merged.copy()
+        for g in small:
+            labels[merged == g] = -1
+        labels = _renumber(labels)
+        labels = cw_numpy(adj, labels, mask)
+        labels = _renumber(labels)
+        labels = merge_close_clusters(adj, labels, mask)
+        labels = merge_wrongly_split(labels, columns, adj, start, upper - 1)
+        if max_haplotypes > 0:
+            labels = merge_to_ploidy(labels, adj, max_haplotypes)
+        out.windows.append(WindowGroups(start, end, labels))
+        if upper == length + 1:
+            break
+    return out
+
+
+def _renumber(labels: np.ndarray) -> np.ndarray:
+    out = labels.copy()
+    renum: dict[int, int] = {}
+    for r in range(labels.size):
+        if labels[r] >= 0:
+            if labels[r] not in renum:
+                renum[labels[r]] = len(renum)
+            out[r] = renum[labels[r]]
+    return out
