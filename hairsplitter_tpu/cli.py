@@ -1,0 +1,94 @@
+"""Command-line interface mirroring the reference `hairsplitter.py` CLI
+(`hairsplitter.py:25-59`): same flags, in-process TPU-native engine instead of
+subprocess stages.
+
+Usage:
+    python -m hairsplitter_tpu.cli -i assembly.gfa -f reads.fastq -o out_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+from .pipeline.orchestrate import PipelineConfig, run_pipeline
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="hairsplitter_tpu",
+        description="TPU-native haplotype splitter (capabilities of HairSplitter)",
+    )
+    p.add_argument("-i", "--assembly", required=True, help="Original assembly (GFA or FASTA)")
+    p.add_argument("-f", "--fastq", required=True, help="Sequencing reads (FASTA/FASTQ, .gz ok)")
+    p.add_argument("-o", "--output", required=True, help="Output directory")
+    p.add_argument(
+        "-x", "--technology", default="ont", choices=["ont", "pacbio", "hifi", "amplicon"]
+    )
+    p.add_argument("-t", "--threads", type=int, default=1, help="host threads (device ops are batched)")
+    p.add_argument("-s", "--dont_simplify", action="store_true", help="skip the untangling stage")
+    p.add_argument(
+        "-P", "--polish-everything", action="store_true", help="polish all contigs, even unseparated"
+    )
+    p.add_argument("-F", "--force", action="store_true", help="overwrite the output directory")
+    p.add_argument("--resume", action="store_true", help="resume a previous run from its artifacts")
+    p.add_argument(
+        "-u",
+        "--rescue_snps",
+        type=float,
+        default=0.33,
+        help="keep all variants with at least this second-allele frequency",
+    )
+    p.add_argument(
+        "--rarest-strain-abundance",
+        type=float,
+        default=0.05,
+        help="abundance of the rarest strain to recover (drives coverage caps)",
+    )
+    p.add_argument(
+        "-c", "--haploid-coverage", type=float, default=0.0, help="coverage of one haplotype (ploidy cap)"
+    )
+    p.add_argument(
+        "--correct-assembly",
+        action="store_true",
+        help="correct assembly errors before splitting (GenomeTailor stage)",
+    )
+    p.add_argument("-l", "--low-memory", action="store_true")
+    p.add_argument("--no_clean", action="store_true", help="keep temporary files")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-v", "--version", action="version", version=__version__)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import os
+
+    if os.path.exists(args.output) and os.listdir(args.output) and not (args.force or args.resume):
+        print(
+            f"ERROR: output directory {args.output} is not empty (use -F to overwrite or --resume)",
+            file=sys.stderr,
+        )
+        return 1
+    cfg = PipelineConfig(
+        technology=args.technology,
+        polish_everything=args.polish_everything,
+        dont_simplify=args.dont_simplify,
+        auto_frac=args.rescue_snps,
+        haploid_coverage=args.haploid_coverage,
+        rarest_strain_abundance=args.rarest_strain_abundance,
+        resume=args.resume,
+    )
+    if args.correct_assembly:
+        print(
+            "WARNING: --correct-assembly (GenomeTailor stage) is not implemented yet; "
+            "continuing with the uncorrected assembly",
+            file=sys.stderr,
+        )
+    run_pipeline(args.assembly, args.fastq, args.output, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

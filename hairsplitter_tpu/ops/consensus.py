@@ -1,0 +1,92 @@
+"""Per-cluster consensus from aligned reads (the polishing step).
+
+Replaces the reference's polishing subprocess ladder — minimap2 → `samtools
+consensus -m simple` → minimap2 → racon (or medaka), `src/tools.cpp:317-689` —
+with an in-process pileup consensus: per contig position, the majority of the
+cluster reads' central bases (deletion-aware), plus insertion recovery (the
+majority inserted sequence wherever more than half of the covering reads
+insert). Because the reads' alignments to the backbone are already in hand,
+no realignment or flank re-trimming (edlib, `create_new_contigs.cpp:556-629`)
+is needed: consensus coordinates map 1:1 onto the backbone interval.
+
+The column-majority counting also exists as a jitted device op for batched
+use (`majority_counts`); the host path uses numpy directly since group
+pileups are small and ragged.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import GAP, PAD
+
+
+@jax.jit
+def majority_counts(codes: jnp.ndarray) -> jnp.ndarray:
+    """Counts of {A,C,G,T,-} per column. codes: int8 [R, L], PAD where absent.
+    Returns int32 [L, 5]."""
+    cands = jnp.arange(5, dtype=codes.dtype)
+    return jnp.sum(codes[:, :, None] == cands[None, None, :], axis=0, dtype=jnp.int32)
+
+
+def consensus_from_cells(
+    backbone: np.ndarray,  # int8 contig codes for [start, end]
+    start: int,
+    rows_cells: list[tuple[np.ndarray, np.ndarray]],  # per read: (tpos, central codes)
+    rows_insertions: list[tuple[np.ndarray, np.ndarray]],  # per read: (ins tpos, codes)
+    min_cov: int = 1,
+) -> str:
+    """Build the consensus sequence of one read group over one interval."""
+    L = len(backbone)
+    counts = np.zeros((L, 5), dtype=np.int32)
+    cover = np.zeros(L, dtype=np.int32)
+    for tpos, cents in rows_cells:
+        lo = np.searchsorted(tpos, start)
+        hi = np.searchsorted(tpos, start + L)
+        idx = tpos[lo:hi] - start
+        c = cents[lo:hi]
+        counts[idx, c] += 1
+        cover[idx] += 1
+
+    best = counts.argmax(axis=1)
+    best_cnt = counts[np.arange(L), best]
+    # no/low coverage -> keep the backbone base
+    use_backbone = cover < min_cov
+    out_base = np.where(use_backbone, backbone, best)
+
+    # insertion recovery: majority inserted string before position p
+    ins_by_pos: dict[int, list[str]] = {}
+    for ins_tpos, ins_codes in rows_insertions:
+        if ins_tpos.size == 0:
+            continue
+        sel = (ins_tpos >= start) & (ins_tpos < start + L)
+        it, ic = ins_tpos[sel], ins_codes[sel]
+        # group consecutive same-position insertions into strings
+        if it.size == 0:
+            continue
+        brk = np.nonzero(np.diff(it) != 0)[0] + 1
+        for seg_lo, seg_hi in zip(np.concatenate([[0], brk]), np.concatenate([brk, [it.size]])):
+            p = int(it[seg_lo])
+            s = "".join("ACGT-N"[x] for x in ic[seg_lo:seg_hi])
+            ins_by_pos.setdefault(p, []).append(s)
+
+    pieces: list[str] = []
+    alphabet = "ACGT-N"
+    for p in range(L):
+        gp = start + p
+        if gp in ins_by_pos and cover[p] >= min_cov:
+            cand = ins_by_pos[gp]
+            if len(cand) * 2 > cover[p]:
+                s = sorted(Counter(cand).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                pieces.append(s.replace("-", "").replace("N", ""))
+        b = int(out_base[p])
+        if b == GAP:
+            continue  # majority deletion: drop the base
+        if b == PAD:
+            continue
+        pieces.append(alphabet[b])
+    return "".join(pieces)

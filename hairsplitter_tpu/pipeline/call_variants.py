@@ -257,36 +257,65 @@ def robust_filter(
     return kept, partitions
 
 
-def call_variants_for_contig(
+@dataclass
+class ContigPrep:
+    """Pass-1 product per contig: pileup window blocks + device column stats.
+
+    Splitting prep from calling lets the orchestrator pool the error rate
+    across all contigs before thresholds are applied (the reference computes a
+    global error rate in an omp-critical reduction, `call_variants.cpp:1310-1316`
+    — on a mesh this is the psum point)."""
+
+    contig: str
+    length: int
+    n_reads: int
+    mismatches: int
+    cells: int
+    win_stats: list = field(default_factory=list)
+
+    @property
+    def error_rate(self) -> float:
+        return self.mismatches / max(1, self.cells)
+
+
+def prepare_contig(
     contig_name: str,
     contig_seq: str,
     alignments: list[Alignment],
     read_seqs: dict[int, str],
     cfg: VariantCallConfig = VariantCallConfig(),
-    mean_error_hint: float | None = None,
-) -> ContigVariants:
-    """Run stage 3 on one contig. read_seqs maps read_idx -> sequence."""
+) -> ContigPrep:
     contig_codes = encode_seq(contig_seq)
     oriented = [
         orient_read(encode_seq(read_seqs[a.read_idx]), a.strand) for a in alignments
     ]
     blocks = build_window_blocks(len(contig_seq), alignments, oriented, cfg.window)
-
-    mism_total = 0
-    cells_total = 0
-    win_stats = []
+    prep = ContigPrep(
+        contig=contig_name,
+        length=len(contig_seq),
+        n_reads=len(alignments),
+        mismatches=0,
+        cells=0,
+    )
     for blk in blocks:
         codes_w = np.full(cfg.window, 5, dtype=np.int8)
         codes_w[: blk.length] = contig_codes[blk.start : blk.start + blk.length]
         tc, tn, cov = column_stats(blk.tri)
         mm, cc = window_error_stats(blk.tri, codes_w)
-        mism_total += int(mm)
-        cells_total += int(cc)
-        win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))
+        prep.mismatches += int(mm)
+        prep.cells += int(cc)
+        prep.win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))
+    return prep
 
-    error_rate = mism_total / max(1, cells_total)
-    if mean_error_hint is not None:
-        error_rate = mean_error_hint
+
+def call_variants_from_prep(
+    prep: ContigPrep,
+    error_rate: float,
+    cfg: VariantCallConfig = VariantCallConfig(),
+) -> ContigVariants:
+    """Pass 2: suspect columns + robust filter, with a (possibly pooled)
+    error rate."""
+    win_stats = prep.win_stats
     error_rate = min(error_rate, cfg.error_cap)
     min_reads = (
         cfg.min_reads_suspect_hifi
@@ -327,23 +356,37 @@ def call_variants_for_contig(
         for p in np.nonzero(resc[: blk.length])[0]:
             rescue_pool.append(_extract_column(blk, int(p), blk.start + int(p), tc, tn))
 
-    n_rows = len(alignments)
+    n_rows = prep.n_reads
     kept, partitions = robust_filter(suspects, rescue_pool, n_rows, error_rate, cfg)
     merged: dict[int, SparseColumn] = {c.pos: c for c in kept}
     for c in autos:  # automatic SNPs always pass (reference :531,1334-1352)
         merged[c.pos] = c
     columns = [merged[p] for p in sorted(merged)]
 
-    depth = cells_total / max(1, len(contig_seq))
+    depth = prep.cells / max(1, prep.length)
     cv = ContigVariants(
-        contig=contig_name,
-        length=len(contig_seq),
+        contig=prep.contig,
+        length=prep.length,
         depth=depth,
         error_rate=error_rate,
         columns=columns,
         n_reads=n_rows,
     )
     return cv
+
+
+def call_variants_for_contig(
+    contig_name: str,
+    contig_seq: str,
+    alignments: list[Alignment],
+    read_seqs: dict[int, str],
+    cfg: VariantCallConfig = VariantCallConfig(),
+    mean_error_hint: float | None = None,
+) -> ContigVariants:
+    """Single-contig convenience wrapper (prep + call in one step)."""
+    prep = prepare_contig(contig_name, contig_seq, alignments, read_seqs, cfg)
+    err = prep.error_rate if mean_error_hint is None else mean_error_hint
+    return call_variants_from_prep(prep, err, cfg)
 
 
 def _extract_column(blk, p: int, gpos: int, tc, tn) -> SparseColumn:

@@ -1,0 +1,286 @@
+"""Stage 5: build the zipped assembly (reference `HS_create_new_contigs`).
+
+From the per-window read groups (stage 4): fuse trivially-stitched adjacent
+windows (`merge_intervals`, reference `src/create_new_contigs.cpp:1427-1533`),
+polish one new contig per (interval, group) with the in-process consensus op,
+recompute proportional depths (:907-944), wire graph links — interval-to-
+interval stitches (:833-903) and original contig-boundary links — and emit
+per-read paths through the new contigs (GAF semantics, :1128-1420) for the
+untangling stage.
+
+New contig naming: `<contig>_<intervalStart>_<group>` (:642).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import encode_seq
+from ..core.datatypes import Alignment
+from ..io.gfa import AssemblyGraph, Link
+from ..ops.consensus import consensus_from_cells
+from ..pipeline.pileup import alignment_cells_full, orient_read
+from .separate_reads import ContigGroups
+
+
+@dataclass
+class Interval:
+    start: int
+    end: int  # inclusive
+    labels: np.ndarray  # group per contig read row
+
+
+@dataclass
+class ContigZip:
+    """New contigs and read paths of one original contig."""
+
+    contig: str
+    intervals: list[Interval]
+    names: dict[tuple[int, int], str] = field(default_factory=dict)  # (start, group) -> name
+
+
+def stitch_groups(par: np.ndarray, neighbor: np.ndarray) -> dict[int, set[int]]:
+    """Which left group continues into which right group(s)
+    (`src/create_new_contigs.cpp:833-903`): counted over reads present on both
+    sides; accepted when shared reads >= min(5, 0.7*cluster size)."""
+    both = (par > -1) & (neighbor > -1)
+    out: dict[int, set[int]] = {int(g): set() for g in np.unique(par[par > -1])}
+    if not both.any():
+        return out
+    fit: dict[tuple[int, int], int] = {}
+    cluster_size: dict[int, int] = {}
+    for g1, g2 in zip(par[both], neighbor[both]):
+        fit[(int(g1), int(g2))] = fit.get((int(g1), int(g2)), 0) + 1
+        cluster_size[int(g1)] = cluster_size.get(int(g1), 0) + 1
+    for (g1, g2), n in fit.items():
+        if n >= min(5.0, 0.7 * cluster_size[g1]):
+            out.setdefault(g1, set()).add(g2)
+    return out
+
+
+def merge_intervals(intervals: list[Interval]) -> list[Interval]:
+    """Fuse adjacent intervals whose stitch is a perfect bijection
+    (`src/create_new_contigs.cpp:1427-1533`); the left labels win and reads
+    unassigned on the left inherit the converted right label."""
+    if not intervals:
+        return []
+    out: list[Interval] = []
+    cur = Interval(intervals[0].start, intervals[0].end, intervals[0].labels.copy())
+    for nxt in intervals[1:]:
+        left = set(int(g) for g in np.unique(cur.labels[cur.labels > -1]))
+        right = set(int(g) for g in np.unique(nxt.labels[nxt.labels > -1]))
+        st = stitch_groups(cur.labels, nxt.labels)
+        # unstitched left groups map everywhere (reference behavior)
+        for g in st:
+            if not st[g]:
+                st[g] = set(left)
+        stitched_right = set().union(*st.values()) if st else set()
+        # right groups nobody claimed: every left group claims them
+        unclaimed = right - stitched_right
+        for g in st:
+            st[g] |= unclaimed
+        trivial = bool(st) and len(left) == len(right)
+        seen: set[int] = set()
+        conversion: dict[int, int] = {}
+        for g, targets in st.items():
+            if len(targets) != 1:
+                trivial = False
+                break
+            t = next(iter(targets))
+            if t in seen:
+                trivial = False
+                break
+            seen.add(t)
+            conversion[t] = g
+        if trivial and len(seen) < len(left):
+            trivial = False
+        if not trivial:
+            out.append(cur)
+            cur = Interval(nxt.start, nxt.end, nxt.labels.copy())
+        else:
+            cur.end = nxt.end
+            fill = (cur.labels < 0) & (nxt.labels > -1)
+            if fill.any():
+                conv = np.array(
+                    [conversion.get(int(g), -1) for g in nxt.labels], dtype=cur.labels.dtype
+                )
+                cur.labels[fill] = conv[fill]
+    out.append(cur)
+    return out
+
+
+def recompute_depths(
+    interval: Interval, spans: np.ndarray
+) -> dict[int, float]:
+    """Per-group coverage of the interval from fractional read overlaps
+    (`src/create_new_contigs.cpp:907-944`)."""
+    L = interval.end - interval.start + 1
+    depths: dict[int, float] = {}
+    for r, g in enumerate(interval.labels):
+        g = int(g)
+        depths.setdefault(g, 0.0)
+        ov = min(int(spans[r, 1]), interval.end) - max(int(spans[r, 0]), interval.start)
+        depths[g] += max(0.0, ov / L)
+    return depths
+
+
+@dataclass
+class ZipResult:
+    graph: AssemblyGraph
+    read_paths: dict[int, list[tuple[str, int]]]  # read_idx -> [(new contig, orient)]
+    summary: list[str]
+
+
+def create_new_contigs(
+    assembly: AssemblyGraph,
+    per_contig: dict[str, tuple[list[Alignment], ContigGroups]],
+    read_seqs: dict[int, str],
+    polish_everything: bool = False,
+) -> ZipResult:
+    """Build the zipped assembly graph from all contigs' window groups."""
+    new_graph = AssemblyGraph()
+    summary: list[str] = []
+    zips: dict[str, ContigZip] = {}
+
+    for contig, seq in assembly.segments.items():
+        alns, groups = per_contig.get(contig, ([], None))
+        contig_codes = encode_seq(seq)
+        if groups is None or not alns:
+            # no reads: keep the contig as-is
+            cz = ContigZip(contig, [Interval(0, len(seq) - 1, np.zeros(0, np.int64))])
+            cz.names[(0, 0)] = f"{contig}_0_0"
+            new_graph.add_segment(cz.names[(0, 0)], seq, assembly.depths.get(contig, 0.0))
+            zips[contig] = cz
+            continue
+
+        intervals = merge_intervals(
+            [Interval(w.start, w.end, w.labels) for w in groups.windows]
+        )
+        cz = ContigZip(contig, intervals)
+        zips[contig] = cz
+        spans = np.array(
+            [[a.t_start, a.t_end] for a in alns], dtype=np.int64
+        )
+
+        # precompute cells (positions + central bases + insertions) per read row
+        cells = []
+        for a in alns:
+            oriented = orient_read(encode_seq(read_seqs[a.read_idx]), a.strand)
+            tpos, tri, ins_t, ins_c = alignment_cells_full(a, oriented)
+            cells.append((tpos, (np.asarray(tri, dtype=np.int16) // 25).astype(np.int8), ins_t, ins_c))
+
+        for iv in intervals:
+            glist = sorted(set(int(g) for g in np.unique(iv.labels[iv.labels > -1])))
+            if not glist:
+                glist = [0]
+                member_rows = {0: np.zeros(0, np.int64)}
+            else:
+                member_rows = {g: np.nonzero(iv.labels == g)[0] for g in glist}
+            depths = recompute_depths(iv, spans) if iv.labels.size else {0: assembly.depths.get(contig, 0.0)}
+            separated = len(glist) > 1
+            backbone = contig_codes[iv.start : iv.end + 1]
+            for g in glist:
+                name = f"{contig}_{iv.start}_{g}"
+                cz.names[(iv.start, g)] = name
+                rows = member_rows[g]
+                if (separated or polish_everything) and rows.size:
+                    rc = [(cells[r][0], cells[r][1]) for r in rows]
+                    ri = [(cells[r][2], cells[r][3]) for r in rows]
+                    seq_g = consensus_from_cells(backbone, iv.start, rc, ri)
+                else:
+                    seq_g = "".join("ACGT-N"[c] for c in backbone)
+                new_graph.add_segment(name, seq_g, depths.get(g, 0.0))
+            if separated:
+                summary.append(
+                    f"{contig}[{iv.start}:{iv.end}] -> {len(glist)} haplotypes"
+                )
+
+        # links between adjacent intervals
+        for iv1, iv2 in zip(intervals[:-1], intervals[1:]):
+            st = stitch_groups(iv1.labels, iv2.labels)
+            g1s = sorted(set(int(g) for g in np.unique(iv1.labels[iv1.labels > -1]))) or [0]
+            g2s = sorted(set(int(g) for g in np.unique(iv2.labels[iv2.labels > -1]))) or [0]
+            linked_any = False
+            for g1, targets in st.items():
+                for g2 in sorted(targets):
+                    if (iv2.start, g2) in cz.names and (iv1.start, g1) in cz.names:
+                        new_graph.add_link(
+                            Link(cz.names[(iv1.start, g1)], "+", cz.names[(iv2.start, g2)], "+")
+                        )
+                        linked_any = True
+            if not linked_any:
+                # never disconnect the contig: all-to-all fallback
+                for g1 in g1s:
+                    for g2 in g2s:
+                        new_graph.add_link(
+                            Link(cz.names[(iv1.start, g1)], "+", cz.names[(iv2.start, g2)], "+")
+                        )
+
+    # original inter-contig links -> attach to terminal interval groups
+    for l in assembly.links:
+        ends1 = _terminal_names(zips.get(l.name1), l.orient1, True)
+        ends2 = _terminal_names(zips.get(l.name2), l.orient2, False)
+        for n1 in ends1:
+            for n2 in ends2:
+                new_graph.add_link(Link(n1, l.orient1, n2, l.orient2, l.cigar))
+    new_graph.dedupe_links()
+
+    # per-read paths through the new contigs: within a contig, the ordered
+    # interval groups of the read; across contigs, ordered by read coordinate
+    read_paths: dict[int, list[tuple[str, int]]] = {}
+    path_elems: dict[int, list[tuple[int, list[tuple[str, int]]]]] = {}
+    for contig, (alns, groups) in per_contig.items():
+        if groups is None:
+            continue
+        cz = zips[contig]
+        for row, a in enumerate(alns):
+            elems: list[tuple[str, int]] = []
+            for iv in cz.intervals:
+                if row < iv.labels.size and iv.labels[row] > -1:
+                    nm = cz.names.get((iv.start, int(iv.labels[row])))
+                    if nm is not None:
+                        elems.append((nm, 1))
+            if not elems:
+                continue
+            if a.strand == 0:
+                elems = [(nm, 0) for nm, _ in reversed(elems)]
+            path_elems.setdefault(a.read_idx, []).append((a.q_start, elems))
+    for ridx, parts in path_elems.items():
+        parts.sort(key=lambda t: t[0])
+        path: list[tuple[str, int]] = []
+        for _, elems in parts:
+            path.extend(elems)
+        read_paths[ridx] = path
+
+    return ZipResult(graph=new_graph, read_paths=read_paths, summary=summary)
+
+
+def _terminal_names(cz: ContigZip | None, orient: str, is_first_endpoint: bool) -> list[str]:
+    """Names of the interval-group contigs sitting at the linked end of an
+    original contig: '+' leaves from its end (last interval) and enters at the
+    start (first interval)."""
+    if cz is None:
+        return []
+    if is_first_endpoint:
+        iv = cz.intervals[-1] if orient == "+" else cz.intervals[0]
+    else:
+        iv = cz.intervals[0] if orient == "+" else cz.intervals[-1]
+    gl = (
+        sorted(set(int(g) for g in np.unique(iv.labels[iv.labels > -1])))
+        if iv.labels.size
+        else [0]
+    ) or [0]
+    return [cz.names[(iv.start, g)] for g in gl if (iv.start, g) in cz.names]
+
+
+def write_gaf(path: str, read_paths: dict[int, list[tuple[str, int]]], read_names: dict[int, str]) -> None:
+    """Write read paths in GAF (first 6 fields, as the reference emits,
+    `doc/README.md` / `create_new_contigs.cpp:1128`)."""
+    with open(path, "w") as f:
+        for ridx, p in sorted(read_paths.items()):
+            if not p:
+                continue
+            pstr = "".join((">" if o == 1 else "<") + nm for nm, o in p)
+            f.write(f"{read_names.get(ridx, f'read_{ridx}')}\t0\t0\t0\t+\t{pstr}\t0\t0\t0\t0\t0\t60\n")

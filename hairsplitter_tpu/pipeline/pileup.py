@@ -27,6 +27,18 @@ def alignment_cells(aln: Alignment, oriented_codes: np.ndarray) -> tuple[np.ndar
     """(contig positions, trimer codes) of all pileup cells of one alignment.
 
     oriented_codes: the read's base codes in contig orientation."""
+    tpos, tri, _, _ = alignment_cells_full(aln, oriented_codes)
+    return tpos, tri
+
+
+def alignment_cells_full(
+    aln: Alignment, oriented_codes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """As :func:`alignment_cells`, plus insertion records.
+
+    Returns (tpos, trimer, ins_tpos, ins_codes): insertions are read bases
+    absent from the contig, attached *before* contig position ins_tpos
+    (one entry per inserted base, in read order)."""
     exp = expand_cigar(aln.cigar_ops, aln.cigar_lens)
     consumes_q = exp != 3  # '=','X','I'
     consumes_t = exp != 2  # '=','X','D'
@@ -41,12 +53,15 @@ def alignment_cells(aln: Alignment, oriented_codes: np.ndarray) -> tuple[np.ndar
 
     recorded = exp != 2  # all but insertions produce a cell
     cur = np.where(exp == 3, GAP, oriented_codes[np.clip(qpos, 0, len(oriented_codes) - 1)])
-    cur = cur[recorded].astype(np.int16)
+    cur_rec = cur[recorded].astype(np.int16)
     # context = previous two recorded symbols of this read
-    prev1 = np.concatenate([[0], cur[:-1]])
-    prev2 = np.concatenate([[0, 1], cur[:-2]])
-    tri = (cur * 25 + prev1 * 5 + prev2).astype(np.int8)
-    return tpos[recorded], tri
+    prev1 = np.concatenate([[0], cur_rec[:-1]])
+    prev2 = np.concatenate([[0, 1], cur_rec[:-2]])
+    tri = (cur_rec * 25 + prev1 * 5 + prev2).astype(np.int8)
+    ins = exp == 2
+    ins_tpos = tpos[ins]
+    ins_codes = oriented_codes[qpos[ins]]
+    return tpos[recorded], tri, ins_tpos, ins_codes
 
 
 @dataclass
