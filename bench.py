@@ -25,6 +25,10 @@ def main():
     import jax
 
     from hairsplitter_tpu.ops.align import BandSpec, Q_SENTINEL, T_SENTINEL, banded_align_batch
+    from hairsplitter_tpu.ops.align_pallas import banded_align_batch_pallas
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    align_fn = banded_align_batch_pallas if on_tpu else banded_align_batch
 
     spec = BandSpec(chunk=256, band=128)
     N = 512
@@ -40,14 +44,25 @@ def main():
     q_lens = np.full(N, spec.chunk, np.int32)
     t_lens = np.full(N, spec.chunk, np.int32)
 
-    res = banded_align_batch(q, q_lens, t, t_lens, spec)  # compile
-    jax.block_until_ready(res)
+    import jax.numpy as jnp
 
-    iters = 10
+    iters = 20
+
+    # chain the kernel K times inside one jit so host<->device dispatch
+    # latency (large through the axon tunnel) is excluded from the rate
+    @jax.jit
+    def run_k(q0, ql, t0_, tl):
+        def body(i, acc):
+            # vary one input byte per iteration to defeat CSE
+            qv = q0.at[0, 0].set((i % 4).astype(q0.dtype))
+            r = align_fn(qv, ql, t0_, tl, spec)
+            return acc + r["row_at_q"][0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    jax.block_until_ready(run_k(q, q_lens, t, t_lens))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = banded_align_batch(q, q_lens, t, t_lens, spec)
-    jax.block_until_ready(res)
+    jax.block_until_ready(run_k(q, q_lens, t, t_lens))
     dt = time.perf_counter() - t0
 
     cells = N * spec.chunk * spec.band * iters
@@ -74,6 +89,7 @@ def main():
                     "batch": N,
                     "chunk": spec.chunk,
                     "band": spec.band,
+                    "kernel": "pallas" if on_tpu else "jnp-scan",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -40,6 +40,7 @@ class MapConfig:
     batch: int = 512  # device batch bucket
     # minimum identity to keep an alignment (minimap2 -M-ish sanity filter)
     max_divergence: float = 0.35
+    use_pallas: bool = True  # use the Pallas DP kernel on TPU devices
 
     @property
     def maxdrift(self) -> int:
@@ -99,14 +100,21 @@ class _Job:
 def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     """Align all jobs on device in fixed-shape batches; return per-job results
     with expanded ops, cost and trailing-query soft clip length."""
+    import jax
+
     spec = cfg.spec
     B, T = spec.chunk, spec.t_width
     results: list[dict] = [None] * len(jobs)
     bucket = cfg.batch
+    align_fn = banded_align_batch
+    if cfg.use_pallas and jax.devices()[0].platform not in ("cpu",):
+        from ..ops.align_pallas import banded_align_batch_pallas
+
+        align_fn = banded_align_batch_pallas
     for lo in range(0, len(jobs), bucket):
         sub = jobs[lo : lo + bucket]
         n = len(sub)
-        npad = max(16, 1 << (n - 1).bit_length())
+        npad = max(32, 1 << (n - 1).bit_length())
         qb = np.full((npad, B), Q_SENTINEL, dtype=np.int8)
         tb = np.full((npad, T), T_SENTINEL, dtype=np.int8)
         qlens = np.zeros(npad, dtype=np.int32)
@@ -118,7 +126,7 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        res = banded_align_batch(qb, qlens, tb, tlens, spec)
+        res = align_fn(qb, qlens, tb, tlens, spec)
         cost, start_i, start_b, clip = readout(res, qlens, tlens, modes, spec)
         ops_list = traceback_batch(np.asarray(res["bp"]), qb, tb, start_i, start_b, spec)
         for i, job in enumerate(sub):

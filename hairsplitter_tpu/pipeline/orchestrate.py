@@ -128,14 +128,17 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     scfg = cfg.separate
     scfg.amplicon = amplicon
     groups: dict[str, ContigGroups] = {}
-    max_haps = 0
+    ploidy: dict[str, int] = {}
     if cfg.haploid_coverage > 0:
-        pass  # per-contig ploidy cap computed below
+        from .multiplicity import determine_multiplicity, write_ploidy
+
+        for contig, cv in variants.items():
+            assembly.depths.setdefault(contig, cv.depth)
+        ploidy = determine_multiplicity(assembly, cfg.haploid_coverage)
+        write_ploidy(os.path.join(tmp_dir, "ploidy.txt"), ploidy)
     for contig in assembly.segments:
         spans = [(a.t_start, a.t_end) for a in per_contig_alns[contig]]
-        mh = 0
-        if cfg.haploid_coverage > 0:
-            mh = max(1, round(variants[contig].depth / cfg.haploid_coverage))
+        mh = ploidy.get(contig, 0)
         groups[contig] = separate_reads_for_contig(variants[contig], spans, scfg, max_haplotypes=mh)
     n_sep = sum(
         1

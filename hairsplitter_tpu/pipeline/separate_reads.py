@@ -20,8 +20,25 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .. import native
 from ..ops.cluster import cw_numpy, sims_diffs
 from .call_variants import ContigVariants, SparseColumn
+
+
+def run_cw(adj: np.ndarray, init: np.ndarray, mask: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Chinese Whispers via the native library when available (same
+    semantics; different but deterministic RNG stream)."""
+    lab = native.chinese_whispers(adj, init, mask, seed=seed)
+    if lab is not None:
+        return lab
+    return cw_numpy(adj, init, mask, seed=seed)
+
+
+def build_read_graph(mask: np.ndarray, sim: np.ndarray, diff: np.ndarray, err: float) -> np.ndarray:
+    adj = native.create_read_graph(sim, diff, mask, err)
+    if adj is not None:
+        return adj
+    return create_read_graph(mask, sim, diff, err)
 
 
 @dataclass
@@ -29,9 +46,37 @@ class SeparateConfig:
     window: int = 2000
     min_cluster_size: int = 5
     amplicon: bool = False
-    max_coverage: int = 1000  # downsampling cap (reference: 50/abundance)
+    # downsampling cap: the reference keeps max 50/rarest_strain_abundance
+    # reads per contig (`separate_reads.cpp:1420-1426`)
+    rarest_strain_abundance: float = 0.05
     seed_snp_spacing: int = 10
     use_device_matmul: bool = True
+
+    @property
+    def max_coverage(self) -> int:
+        return max(1, int(round(50 / max(self.rarest_strain_abundance, 0.01))))
+
+
+def downsample_columns(
+    columns: list[SparseColumn], n_rows: int, max_rows: int, seed: int = 0
+) -> tuple[list[SparseColumn], np.ndarray]:
+    """Randomly keep at most max_rows reads; columns are restricted to the
+    kept rows (row indices unchanged). Returns (columns, kept_mask)."""
+    if n_rows <= max_rows:
+        return columns, np.ones(n_rows, dtype=bool)
+    rng = np.random.default_rng(seed)
+    keep_idx = rng.choice(n_rows, size=max_rows, replace=False)
+    keep = np.zeros(n_rows, dtype=bool)
+    keep[keep_idx] = True
+    out = []
+    for c in columns:
+        sel = keep[c.rows]
+        out.append(
+            SparseColumn(
+                pos=c.pos, top1=c.top1, top2=c.top2, rows=c.rows[sel], alleles=c.alleles[sel]
+            )
+        )
+    return out, keep
 
 
 def choose_window_size(read_spans: list[tuple[int, int]], cfg: SeparateConfig) -> int:
@@ -154,7 +199,7 @@ def merge_clusterings(
             sig_to_label[sig] = i  # label by first row with this signature
         agg[i] = sig_to_label[sig]
     agg[~mask] = -2
-    return cw_numpy(adj, agg, mask)
+    return run_cw(adj, agg, mask)
 
 
 def merge_close_clusters(adj: np.ndarray, labels: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -331,6 +376,9 @@ def separate_reads_for_contig(
     out = ContigGroups(contig=cv.contig, length=length, depth=cv.depth)
 
     columns = cv.columns
+    # cap coverage: randomly dropped reads keep label -2 (absent) in every
+    # window, mirroring the reference's 50/abundance downsampling
+    columns, keep_mask = downsample_columns(columns, n_rows, cfg.max_coverage)
     if columns and n_rows:
         A, R = _allele_indicators(columns, n_rows)
         if cfg.use_device_matmul and n_rows >= 256:
@@ -389,7 +437,7 @@ def separate_reads_for_contig(
         last_set[last_col.rows] = True
         mask &= last_set
 
-        adj = create_read_graph(mask, sim, diff, cv.error_rate)
+        adj = build_read_graph(mask, sim, diff, cv.error_rate)
 
         local = []
         lastpos = -10 - cfg.seed_snp_spacing
@@ -399,7 +447,7 @@ def separate_reads_for_contig(
                 continue
             lastpos = col.pos
             init = _seed_from_column(col, mask, n_rows)
-            local.append(cw_numpy(adj, init, mask))
+            local.append(run_cw(adj, init, mask))
 
         merged = merge_clusterings(local, adj, mask)
         # kill small clusters (-1 = unclustered, rescued downstream)
@@ -409,7 +457,7 @@ def separate_reads_for_contig(
         for g in small:
             labels[merged == g] = -1
         labels = _renumber(labels)
-        labels = cw_numpy(adj, labels, mask)
+        labels = run_cw(adj, labels, mask)
         labels = _renumber(labels)
         labels = merge_close_clusters(adj, labels, mask)
         labels = merge_wrongly_split(labels, columns, adj, start, upper - 1)

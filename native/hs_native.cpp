@@ -1,0 +1,179 @@
+// Native host-side kernels for hairsplitter_tpu.
+//
+// The reference implements its host runtime in C++/OpenMP (stage binaries,
+// src/*.cpp); here the device work lives in XLA/Pallas and this small C++
+// library accelerates the remaining host-side inner loops that don't
+// vectorize well in numpy:
+//   - longest monotonic anchor subsequence (chaining, seeding.py),
+//   - kNN read-graph construction (separate_reads.py / create_read_graph,
+//     reference src/separate_reads.cpp:445-530),
+//   - Chinese Whispers label propagation (reference
+//     src/cluster_graph.cpp:152-310) with a deterministic seeded RNG.
+//
+// Exposed with a plain C ABI for ctypes; built by native/Makefile.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Longest subsequence strictly increasing in both q and t (patience LIS on q;
+// anchors must be pre-sorted by t). Returns the subsequence length; indices
+// written to out (caller allocates n entries).
+int64_t hs_lis_monotonic(const int64_t* q, int64_t n, int64_t* out) {
+    if (n == 0) return 0;
+    std::vector<int64_t> tails;       // q values of pile tops
+    std::vector<int64_t> tails_idx;   // their indices
+    std::vector<int64_t> parent(n, -1);
+    tails.reserve(n);
+    tails_idx.reserve(n);
+    for (int64_t i = 0; i < n; i++) {
+        auto it = std::lower_bound(tails.begin(), tails.end(), q[i]);
+        int64_t j = it - tails.begin();
+        if (j > 0) parent[i] = tails_idx[j - 1];
+        if (it == tails.end()) {
+            tails.push_back(q[i]);
+            tails_idx.push_back(i);
+        } else if (q[i] < *it) {
+            *it = q[i];
+            tails_idx[j] = i;
+        }
+    }
+    int64_t len = 0;
+    int64_t cur = tails_idx.back();
+    std::vector<int64_t> rev;
+    rev.reserve(tails.size());
+    while (cur >= 0) {
+        rev.push_back(cur);
+        cur = parent[cur];
+    }
+    for (auto it2 = rev.rbegin(); it2 != rev.rend(); ++it2) out[len++] = *it2;
+    return len;
+}
+
+// ---------------------------------------------------------------------------
+// Read-graph construction: distance/knee thresholds of the reference
+// (src/separate_reads.cpp:462-515). sim/diff are n*n int32, mask n uint8,
+// adj out n*n int8 (0/1).
+void hs_create_read_graph(const int32_t* sim, const int32_t* diff,
+                          const uint8_t* mask, int64_t n, float error_rate,
+                          int8_t* adj) {
+    std::memset(adj, 0, (size_t)n * n);
+    std::vector<std::pair<float, int64_t>> order;
+    std::vector<float> dist(n);
+    float d_floor = std::min(1.0f - 2.0f * error_rate, 0.99f);
+    for (int64_t r1 = 0; r1 < n; r1++) {
+        if (!mask[r1]) continue;
+        const int32_t* s = sim + r1 * n;
+        const int32_t* d = diff + r1 * n;
+        float max_compat = 5.0f;
+        for (int64_t r = 0; r < n; r++) {
+            dist[r] = 0.0f;
+            if (mask[r] && r != r1 && s[r] > 0) {
+                float dd = std::max(0, d[r] - 1);
+                dist[r] = 1.0f - dd / float(s[r] + d[r]);
+                if (s[r] > max_compat) max_compat = (float)s[r];
+            }
+        }
+        float floor_compat = std::max(5.0f, 0.7f * max_compat);
+        for (int64_t r = 0; r < n; r++) {
+            if (mask[r] && r != r1 && (float)(s[r] + d[r]) < floor_compat) dist[r] = 0.0f;
+        }
+        order.clear();
+        for (int64_t r = 0; r < n; r++) order.push_back({dist[r], r});
+        std::stable_sort(order.begin(), order.end(),
+                         [](const auto& a, const auto& b) { return a.first > b.first; });
+        float link_thr = 1.0f;
+        if (n > 1) link_thr = order[0].first - (order[0].first - order[1].first) * 3.0f;
+        if (link_thr == 1.0f) {
+            int64_t k = 0;
+            while (k < n && order[k].first == 1.0f) k++;
+            if (k < n) {
+                int64_t k2 = std::min(k + 4, n - 1);
+                link_thr = order[k2].first;
+            }
+        }
+        int nb = 0;
+        for (auto& pr : order) {
+            float dj = pr.first;
+            int64_t jx = pr.second;
+            if (dj > d_floor && (nb < 5 || dj == 1.0f || dj >= link_thr) && mask[jx]) {
+                nb++;
+                adj[r1 * n + jx] = 1;
+                adj[jx * n + r1] = 1;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// splitmix64 for deterministic shuffles / tie-breaks
+static inline uint64_t mix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+}
+
+// Chinese Whispers: async label propagation with seeded random order and
+// random tie-breaks (reference src/cluster_graph.cpp:240-310; stop when a
+// sweep changes < 3 labels, max n_iters sweeps). adj n*n int8, labels int64
+// in/out, mask uint8.
+void hs_chinese_whispers(const int8_t* adj, int64_t n, int64_t* labels,
+                         const uint8_t* mask, int32_t n_iters, uint64_t seed) {
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; i++) order[i] = i;
+    for (int64_t i = 0; i < n; i++)
+        if (!mask[i]) labels[i] = -2;
+    std::vector<int64_t> counts(n + 1, 0);
+    uint64_t state = seed ^ 0xD1B54A32D192ED03ull;
+    for (int32_t it = 0; it < n_iters; it++) {
+        int changes = 0;
+        // Fisher-Yates with splitmix64
+        for (int64_t i = n - 1; i > 0; i--) {
+            state = mix64(state);
+            int64_t j = (int64_t)(state % (uint64_t)(i + 1));
+            std::swap(order[i], order[j]);
+        }
+        for (int64_t oi = 0; oi < n; oi++) {
+            int64_t i = order[oi];
+            if (!mask[i]) continue;
+            const int8_t* row = adj + i * n;
+            int64_t maxv = 0;
+            for (int64_t r = 0; r < n; r++) {
+                if (row[r] && labels[r] >= 0) {
+                    int64_t c = ++counts[labels[r]];
+                    if (c > maxv) maxv = c;
+                }
+            }
+            if (maxv > 0) {
+                // random tie-break among distinct argmax labels (reservoir)
+                int64_t n_ties = 0, best = -1;
+                for (int64_t r = 0; r < n; r++) {
+                    int64_t lab = labels[r];
+                    if (row[r] && lab >= 0 && counts[lab] == maxv) {
+                        counts[lab] = 0;  // visit each label once + reset
+                        n_ties++;
+                        state = mix64(state);
+                        if ((int64_t)(state % (uint64_t)n_ties) == 0) best = lab;
+                    } else if (row[r] && lab >= 0) {
+                        counts[lab] = 0;
+                    }
+                }
+                if (best >= 0 && labels[i] != best) {
+                    labels[i] = best;
+                    changes++;
+                }
+            } else {
+                for (int64_t r = 0; r < n; r++)
+                    if (row[r] && labels[r] >= 0) counts[labels[r]] = 0;
+            }
+        }
+        if (changes < 3) break;
+    }
+}
+
+}  // extern "C"
