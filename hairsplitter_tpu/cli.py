@@ -73,6 +73,7 @@ def main(argv=None):
         return 1
     cfg = PipelineConfig(
         technology=args.technology,
+        correct_assembly=args.correct_assembly,
         polish_everything=args.polish_everything,
         dont_simplify=args.dont_simplify,
         auto_frac=args.rescue_snps,
@@ -80,12 +81,6 @@ def main(argv=None):
         rarest_strain_abundance=args.rarest_strain_abundance,
         resume=args.resume,
     )
-    if args.correct_assembly:
-        print(
-            "WARNING: --correct-assembly (GenomeTailor stage) is not implemented yet; "
-            "continuing with the uncorrected assembly",
-            file=sys.stderr,
-        )
     run_pipeline(args.assembly, args.fastq, args.output, cfg)
     return 0
 

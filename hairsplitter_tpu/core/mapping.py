@@ -40,7 +40,10 @@ class MapConfig:
     batch: int = 512  # device batch bucket
     # minimum identity to keep an alignment (minimap2 -M-ish sanity filter)
     max_divergence: float = 0.35
-    use_pallas: bool = True  # use the Pallas DP kernel on TPU devices
+    # experimental Pallas DP kernel (ops/align_pallas.py): bit-identical to
+    # the jnp kernel, but Mosaic compiles of the unrolled row loop are slow
+    # through this environment's remote-compile service — off by default
+    use_pallas: bool = False
 
     @property
     def maxdrift(self) -> int:

@@ -158,7 +158,7 @@ def banded_align_batch_pallas(
     t_lens: jnp.ndarray,  # int32 [N]
     spec: BandSpec = BandSpec(),
     interpret: bool = False,
-    rows_per_step: int = 32,
+    rows_per_step: int = 8,
 ):
     """Pallas version of the banded DP; same outputs as the jnp version."""
     N, B = q.shape

@@ -44,6 +44,7 @@ TECH_PRESETS = {
 @dataclass
 class PipelineConfig:
     technology: str = "ont"
+    correct_assembly: bool = False  # reference --correct-assembly (GenomeTailor)
     polish_everything: bool = False
     dont_simplify: bool = False  # reference -s: skip GraphUnzip
     auto_frac: float = 0.33  # reference -u
@@ -94,6 +95,17 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     store = ReadStore(reads_path)
     read_seqs = {i: store.get_seq(i) for i in range(len(store))}
     amplicon = cfg.technology == "amplicon"
+
+    if cfg.correct_assembly:
+        from .tailor import correct_assembly
+
+        log.log("STAGE 1b correcting the assembly (GenomeTailor-equivalent)")
+        assembly, rep = correct_assembly(assembly, read_seqs, cfg.map)
+        log.log(
+            f"  end-to-end reads {rep.end_to_end_before} -> {rep.end_to_end_after}; "
+            f"{len(rep.cuts)} cuts, {len(rep.new_links)} new links"
+        )
+        write_gfa(assembly, os.path.join(tmp_dir, "corrected_assembly.gfa"))
     alns = map_reads(assembly.segments, [read_seqs[i] for i in range(len(store))], cfg.map)
     log.log(f"  {len(alns)} alignments for {len(store)} reads")
 
@@ -127,6 +139,7 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     log.log("STAGE 4 separating reads")
     scfg = cfg.separate
     scfg.amplicon = amplicon
+    scfg.rarest_strain_abundance = cfg.rarest_strain_abundance
     groups: dict[str, ContigGroups] = {}
     ploidy: dict[str, int] = {}
     if cfg.haploid_coverage > 0:

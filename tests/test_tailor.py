@@ -1,0 +1,55 @@
+import numpy as np
+
+from hairsplitter_tpu.io.gfa import AssemblyGraph
+from hairsplitter_tpu.pipeline.tailor import TailorConfig, correct_assembly
+from hairsplitter_tpu.utils.sim import random_genome, simulate_reads
+
+
+def test_missing_link_bridge(rng):
+    # genome = A + B, but the assembly has A and B as unlinked contigs:
+    # reads crossing the junction are bridge evidence -> link added
+    A = random_genome(4000, rng)
+    B = random_genome(4000, rng)
+    genome = A + B
+    sim = simulate_reads([genome], coverage=12, read_len=2000, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("A", A, depth=12)
+    asm.add_segment("B", B, depth=12)
+    reads = {i: s for i, s in enumerate(sim.seqs)}
+    out, rep = correct_assembly(asm, reads)
+    keys = {(l.name1, l.orient1, l.name2, l.orient2) for l in out.links}
+    keys |= {(l.name2, "-" if l.orient2 == "+" else "+", l.name1, "-" if l.orient1 == "+" else "+") for l in out.links}
+    assert ("A", "+", "B", "+") in keys, out.links
+    assert rep.end_to_end_after >= rep.end_to_end_before
+    assert rep.new_links
+
+
+def test_chimeric_contig_cut(rng):
+    # the assembly fuses two unrelated sequences; reads stop at the junction
+    # from both sides -> the contig is cut there
+    left = random_genome(4000, rng)
+    right = random_genome(4000, rng)
+    chimera = left + right
+    # the real molecules continue differently past the junction, so reads
+    # crossing it align half-way and stop (pier evidence)
+    mol1 = left + random_genome(4000, rng)
+    mol2 = random_genome(4000, rng) + right
+    sim = simulate_reads([mol1, mol2], coverage=15, read_len=2000, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("chim", chimera, depth=15)
+    reads = {i: s for i, s in enumerate(sim.seqs)}
+    out, rep = correct_assembly(asm, reads)
+    # a cut near 4000 should exist
+    assert any(abs(pos - 4000) < 300 for c, pos in rep.cuts), rep.cuts
+    assert len(out.segments) >= 2
+
+
+def test_correct_assembly_no_errors(rng):
+    genome = random_genome(6000, rng)
+    sim = simulate_reads([genome], coverage=10, read_len=2000, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("g", genome, depth=10)
+    out, rep = correct_assembly(asm, {i: s for i, s in enumerate(sim.seqs)})
+    assert set(out.segments) == {"g"}
+    assert not rep.cuts and not rep.new_links
+    assert rep.end_to_end_after == rep.end_to_end_before
