@@ -62,6 +62,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from .utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = parse_args(argv)
     import os
 
@@ -80,6 +83,7 @@ def main(argv=None):
         haploid_coverage=args.haploid_coverage,
         rarest_strain_abundance=args.rarest_strain_abundance,
         resume=args.resume,
+        no_clean=args.no_clean,
     )
     run_pipeline(args.assembly, args.fastq, args.output, cfg)
     return 0

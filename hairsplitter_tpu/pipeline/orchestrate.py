@@ -53,6 +53,7 @@ class PipelineConfig:
     max_contig_chunk: int = 300_000
     min_read_quality: float = 0.0
     resume: bool = False
+    no_clean: bool = False  # keep tmp files (reference --no_clean)
     map: MapConfig = field(default_factory=MapConfig)
     variants: VariantCallConfig = field(default_factory=VariantCallConfig)
     separate: SeparateConfig = field(default_factory=SeparateConfig)
@@ -194,6 +195,15 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             f.write(
                 name + "\t" + ",".join(f"{n}{'+' if o==1 else '-'}" for n, o in comp) + "\n"
             )
+    if not cfg.no_clean:
+        # keep the interop artifacts users rely on, drop the rest
+        keep = {"error_rate.txt", "zipped_assembly.gfa", "reads_on_new_contig.gaf"}
+        for fn in os.listdir(tmp_dir):
+            if fn not in keep:
+                try:
+                    os.remove(os.path.join(tmp_dir, fn))
+                except OSError:
+                    pass
     log.log(f"done: {final_gfa}")
     return final_gfa
 
