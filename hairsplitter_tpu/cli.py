@@ -54,6 +54,14 @@ def parse_args(argv=None):
         action="store_true",
         help="correct assembly errors before splitting (GenomeTailor stage)",
     )
+    p.add_argument(
+        "-p",
+        "--polisher",
+        default="racon",
+        choices=["racon", "medaka"],
+        help="reference-CLI parity; the in-process consensus replaces racon. "
+        "A medaka-equivalent NN polisher is not implemented yet.",
+    )
     p.add_argument("-l", "--low-memory", action="store_true")
     p.add_argument("--no_clean", action="store_true", help="keep temporary files")
     p.add_argument("-d", "--debug", action="store_true")

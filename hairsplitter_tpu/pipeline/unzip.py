@@ -186,7 +186,7 @@ def duplicate_contigs(
             seq = g.segments[name]
             pair_to_copy: dict[tuple, str] = {}
             for k, (p, c) in enumerate(final_pairs):
-                cname = f"{name}*{k}" if k > 0 else name
+                cname = f"{name}-copy{k}" if k > 0 else name
                 if k > 0:
                     g.add_segment(cname, seq, depth * c / total)
                     copy_of[cname] = copy_of.get(name, name)

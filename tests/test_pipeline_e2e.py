@@ -46,7 +46,7 @@ def test_unzip_duplicates_shared_contig():
     res = unzip(g, read_paths)
     # after duplication + merging we expect two linear supercontigs A-S-B, C-S-D
     comps = sorted(
-        tuple(n.split("*")[0] for n, o in comp) for comp in res.supercontigs.values()
+        tuple(n.split("-copy")[0] for n, o in comp) for comp in res.supercontigs.values()
     )
     assert comps == [("A", "S", "B"), ("C", "S", "D")], comps
     total_depth = sum(res.graph.depths.values())
