@@ -62,6 +62,10 @@ def parse_args(argv=None):
         help="reference-CLI parity; the in-process consensus replaces racon. "
         "A medaka-equivalent NN polisher is not implemented yet.",
     )
+    p.add_argument(
+        "-q", "--min-read-quality", type=float, default=0,
+        help="filter out reads with average quality below this (fastq only)",
+    )
     p.add_argument("-l", "--low-memory", action="store_true")
     p.add_argument("--no_clean", action="store_true", help="keep temporary files")
     p.add_argument("-d", "--debug", action="store_true")
@@ -92,6 +96,7 @@ def main(argv=None):
         rarest_strain_abundance=args.rarest_strain_abundance,
         resume=args.resume,
         no_clean=args.no_clean,
+        min_read_quality=args.min_read_quality,
     )
     run_pipeline(args.assembly, args.fastq, args.output, cfg)
     return 0

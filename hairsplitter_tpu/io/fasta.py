@@ -41,6 +41,28 @@ def write_fasta(path: str, seqs: dict[str, str], width: int = 0) -> None:
                 f.write(seq + "\n")
 
 
+def filter_fastq_by_quality(in_path: str, out_path: str, min_quality: float) -> int:
+    """Drop FASTQ reads with mean phred below min_quality (reference
+    stage 0.2, `hairsplitter.py:495-513`). Returns the number kept."""
+    kept = 0
+    with _open_text(in_path) as inf, open(out_path, "w") as outf:
+        while True:
+            header = inf.readline()
+            if not header:
+                break
+            seq = inf.readline()
+            plus = inf.readline()
+            qual = inf.readline()
+            q = qual.strip()
+            if not q:
+                break
+            avg = sum(ord(c) - 33 for c in q) / len(q)
+            if avg >= min_quality:
+                outf.write(header + seq + plus + qual)
+                kept += 1
+    return kept
+
+
 @dataclass
 class ReadStore:
     """Indexed access to the reads of a FASTA/FASTQ file.

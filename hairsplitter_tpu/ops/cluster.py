@@ -84,6 +84,22 @@ def chinese_whispers_matmul(
     return labels
 
 
+@partial(jax.jit, static_argnames=("n_iters",))
+def chinese_whispers_multi(
+    adj: jnp.ndarray,  # float32 [R, R]
+    inits: jnp.ndarray,  # int32 [K, R] — one label propagation per seed
+    mask: jnp.ndarray,  # bool [R]
+    n_iters: int = 30,
+):
+    """All per-SNP-seeded CW runs of one window as a single device call
+    (vmapped over seeds; the adjacency is shared). This is the batched MXU
+    path for the reference's per-SNP clustering loop
+    (`src/separate_reads.cpp:1674-1705`)."""
+    return jax.vmap(
+        lambda init: chinese_whispers_matmul(adj, init, mask, n_iters=n_iters)
+    )(inits)
+
+
 def cw_numpy(
     adj: np.ndarray, init: np.ndarray, mask: np.ndarray, n_iters: int = 15, seed: int = 0
 ) -> np.ndarray:

@@ -51,7 +51,7 @@ class PipelineConfig:
     haploid_coverage: float = 0.0  # reference -c (ploidy inference)
     rarest_strain_abundance: float = 0.05
     max_contig_chunk: int = 300_000
-    min_read_quality: float = 0.0
+    min_read_quality: float = 0.0  # reference -q (fastq only)
     resume: bool = False
     no_clean: bool = False  # keep tmp files (reference --no_clean)
     map: MapConfig = field(default_factory=MapConfig)
@@ -91,6 +91,14 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
         assembly = parse_gfa(assembly_path)
     assembly = cut_assembly(assembly, cfg.max_contig_chunk)
     log.log(f"  {len(assembly.segments)} contigs after chunking at {cfg.max_contig_chunk}")
+
+    if cfg.min_read_quality > 0 and reads_path.rstrip(".gz").endswith((".fastq", ".fq")):
+        from ..io.fasta import filter_fastq_by_quality
+
+        filtered = os.path.join(tmp_dir, "filtered_reads.fastq")
+        kept = filter_fastq_by_quality(reads_path, filtered, cfg.min_read_quality)
+        log.log(f"STAGE 0.2 quality filter: kept {kept} reads (>= Q{cfg.min_read_quality})")
+        reads_path = filtered
 
     log.log(f"STAGE 2 loading + mapping reads {reads_path}")
     store = ReadStore(reads_path)

@@ -51,6 +51,9 @@ class SeparateConfig:
     rarest_strain_abundance: float = 0.05
     seed_snp_spacing: int = 10
     use_device_matmul: bool = True
+    # run all per-SNP-seeded CW propagations of a window as one vmapped
+    # device call (the TPU serving path; host CW is faster for tiny windows)
+    use_device_cw: bool = False
 
     @property
     def max_coverage(self) -> int:
@@ -439,15 +442,24 @@ def separate_reads_for_contig(
 
         adj = build_read_graph(mask, sim, diff, cv.error_rate)
 
-        local = []
+        seeds = []
         lastpos = -10 - cfg.seed_snp_spacing
         for s in in_win:
             col = columns[int(s)]
             if col.pos <= lastpos + cfg.seed_snp_spacing:
                 continue
             lastpos = col.pos
-            init = _seed_from_column(col, mask, n_rows)
-            local.append(run_cw(adj, init, mask))
+            seeds.append(_seed_from_column(col, mask, n_rows))
+        if cfg.use_device_cw and seeds:
+            from ..ops.cluster import chinese_whispers_multi
+
+            inits = np.stack(seeds).astype(np.int32)
+            labs = np.asarray(
+                chinese_whispers_multi(adj.astype(np.float32), inits, mask)
+            )
+            local = [labs[k].astype(np.int64) for k in range(labs.shape[0])]
+        else:
+            local = [run_cw(adj, init, mask) for init in seeds]
 
         merged = merge_clusterings(local, adj, mask)
         # kill small clusters (-1 = unclustered, rescued downstream)
