@@ -146,6 +146,12 @@ def _lis_monotonic(q: np.ndarray, t: np.ndarray) -> np.ndarray:
     n = q.size
     if n == 0:
         return np.zeros(0, np.int64)
+    if n > 64:  # native C++ LIS for larger anchor sets
+        from .. import native
+
+        out = native.lis_monotonic(np.asarray(q, dtype=np.int64))
+        if out is not None:
+            return out
     tails: list[int] = []  # q values
     tails_idx: list[int] = []
     parent = np.full(n, -1, dtype=np.int64)
