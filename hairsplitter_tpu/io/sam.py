@@ -13,8 +13,6 @@ import numpy as np
 
 from ..core.datatypes import Alignment
 from .cigar import (
-    CONSUMES_QUERY,
-    CONSUMES_TARGET,
     OPS,
     cigar_query_len,
     cigar_target_len,

@@ -17,8 +17,6 @@ slice, 'ctg' maps across hosts (DCN) and 'pos' across chips (ICI).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

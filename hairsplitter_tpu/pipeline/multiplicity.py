@@ -11,8 +11,6 @@ should carry the sum of its branches).
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..io.gfa import AssemblyGraph
 
 

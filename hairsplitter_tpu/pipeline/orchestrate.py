@@ -10,17 +10,15 @@ compatibility and debugging. Artifact-level resume mirrors the reference's
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import encode_seq
 from ..core.mapping import MapConfig, map_reads
 from ..io.fasta import ReadStore, read_fasta, write_fasta
-from ..io.gfa import AssemblyGraph, cut_assembly, fasta_to_gfa, gfa_to_fasta, parse_gfa, write_gfa
+from ..io.gfa import cut_assembly, fasta_to_gfa, gfa_to_fasta, parse_gfa, write_gfa
 from .call_variants import (
     ContigVariants,
     VariantCallConfig,

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import GAP, TRIMER_ABSENT, encode_seq, revcomp_codes
+from ..constants import GAP, TRIMER_ABSENT, revcomp_codes
 from ..core.datatypes import Alignment
 from ..io.cigar import expand_cigar
 

@@ -22,9 +22,7 @@ invokes it (`graphunzip.py unzip -R -e`, reference `hairsplitter.py:815`,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
-import numpy as np
+from dataclasses import dataclass
 
 from ..constants import revcomp
 from ..io.gfa import AssemblyGraph, Link
