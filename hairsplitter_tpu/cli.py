@@ -97,6 +97,7 @@ def main(argv=None):
         resume=args.resume,
         no_clean=args.no_clean,
         min_read_quality=args.min_read_quality,
+        threads=args.threads,
     )
     run_pipeline(args.assembly, args.fastq, args.output, cfg)
     return 0

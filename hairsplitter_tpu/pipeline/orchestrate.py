@@ -52,6 +52,7 @@ class PipelineConfig:
     min_read_quality: float = 0.0  # reference -q (fastq only)
     resume: bool = False
     no_clean: bool = False  # keep tmp files (reference --no_clean)
+    threads: int = 1  # host threads over contigs (the reference's OpenMP axis)
     map: MapConfig = field(default_factory=MapConfig)
     variants: VariantCallConfig = field(default_factory=VariantCallConfig)
     separate: SeparateConfig = field(default_factory=SeparateConfig)
@@ -124,9 +125,16 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     log.log("STAGE 3 calling variants")
     vcfg = cfg.variants
     vcfg.auto_frac = cfg.auto_frac
-    preps = {}
-    for contig, seq in assembly.segments.items():
-        preps[contig] = prepare_contig(contig, seq, per_contig_alns[contig], read_seqs, vcfg)
+    preps = dict(
+        _contig_map(
+            cfg.threads,
+            assembly.segments.items(),
+            lambda item: (
+                item[0],
+                prepare_contig(item[0], item[1], per_contig_alns[item[0]], read_seqs, vcfg),
+            ),
+        )
+    )
     total_mm = sum(p.mismatches for p in preps.values())
     total_cells = sum(p.cells for p in preps.values())
     error_rate = min(total_mm / max(1, total_cells), vcfg.error_cap)
@@ -156,10 +164,12 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             assembly.depths.setdefault(contig, cv.depth)
         ploidy = determine_multiplicity(assembly, cfg.haploid_coverage)
         write_ploidy(os.path.join(tmp_dir, "ploidy.txt"), ploidy)
-    for contig in assembly.segments:
+    def _sep(contig):
         spans = [(a.t_start, a.t_end) for a in per_contig_alns[contig]]
         mh = ploidy.get(contig, 0)
-        groups[contig] = separate_reads_for_contig(variants[contig], spans, scfg, max_haplotypes=mh)
+        return contig, separate_reads_for_contig(variants[contig], spans, scfg, max_haplotypes=mh)
+
+    groups = dict(_contig_map(cfg.threads, list(assembly.segments), _sep))
     n_sep = sum(
         1
         for g in groups.values()
@@ -212,6 +222,19 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
                     pass
     log.log(f"done: {final_gfa}")
     return final_gfa
+
+
+def _contig_map(threads: int, items, fn):
+    """Map over contigs, optionally with host threads (the reference runs an
+    OpenMP `parallel for` over contigs, `call_variants.cpp:1276-1280`).
+    numpy/jax release the GIL for the heavy parts."""
+    items = list(items)
+    if threads <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        return list(ex.map(fn, items))
 
 
 def _write_vcf(path: str, variants: dict[str, ContigVariants]) -> None:
