@@ -88,6 +88,18 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
         assembly = fasta_to_gfa(read_fasta(assembly_path))
     else:
         assembly = parse_gfa(assembly_path)
+    # sanitize to ACGT (reference check_input_assembly, hairsplitter.py:295-323)
+    n_fixed = 0
+    for name, seq in list(assembly.segments.items()):
+        up = seq.upper()
+        if any(c not in "ACGT" for c in up):
+            fixed = "".join(c if c in "ACGT" else "A" for c in up)
+            n_fixed += sum(1 for a, b in zip(up, fixed) if a != b)
+            assembly.segments[name] = fixed
+        elif up is not seq and up != seq:
+            assembly.segments[name] = up
+    if n_fixed:
+        log.log(f"  sanitized {n_fixed} non-ACGT assembly bases to 'A'")
     assembly = cut_assembly(assembly, cfg.max_contig_chunk)
     log.log(f"  {len(assembly.segments)} contigs after chunking at {cfg.max_contig_chunk}")
 
