@@ -106,14 +106,20 @@ def write_sam(
             name = read_names.get(a.read_idx, f"read_{a.read_idx}")
             cig = cigar_to_string(a.cigar_ops, a.cigar_lens)
             seq = "*"
+            clip_left = clip_right = 0
             if read_seqs is not None:
                 s = read_seqs[a.read_idx]
                 oriented = s if a.strand == 1 else revcomp(s)
+                # soft clips in oriented-read coordinates so q_start/q_end
+                # roundtrip through parse_sam
                 if a.strand == 1:
-                    seq = oriented[a.q_start : a.q_end]
+                    clip_left, clip_right = a.q_start, len(s) - a.q_end
                 else:
-                    seq = oriented[len(s) - a.q_end : len(s) - a.q_start]
+                    clip_left, clip_right = len(s) - a.q_end, a.q_start
+                seq = oriented
+            pre = f"{clip_left}S" if clip_left else ""
+            post = f"{clip_right}S" if clip_right else ""
             f.write(
-                f"{name}\t{flag}\t{a.contig}\t{a.t_start + 1}\t60\t{cig}\t*\t0\t0\t{seq}\t*"
+                f"{name}\t{flag}\t{a.contig}\t{a.t_start + 1}\t60\t{pre}{cig}{post}\t*\t0\t0\t{seq}\t*"
                 f"\tNM:i:{a.nm}\tLN:i:{contig_lengths.get(a.contig, 0)}\n"
             )

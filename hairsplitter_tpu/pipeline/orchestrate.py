@@ -126,7 +126,23 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             f"{len(rep.cuts)} cuts, {len(rep.new_links)} new links"
         )
         write_gfa(assembly, os.path.join(tmp_dir, "corrected_assembly.gfa"))
-    alns = map_reads(assembly.segments, [read_seqs[i] for i in range(len(store))], cfg.map)
+    sam_path = os.path.join(tmp_dir, "reads_on_asm.sam")
+    if cfg.resume and os.path.exists(sam_path):
+        from ..io.sam import parse_sam
+
+        alns = parse_sam(sam_path, {store.names[i]: i for i in range(len(store))}, max_clip_frac=1.0)
+        log.log(f"  resume: {len(alns)} alignments loaded from {sam_path}")
+    else:
+        alns = map_reads(assembly.segments, [read_seqs[i] for i in range(len(store))], cfg.map)
+        from ..io.sam import write_sam
+
+        write_sam(
+            sam_path,
+            alns,
+            {n: len(s) for n, s in assembly.segments.items()},
+            {i: store.names[i] for i in range(len(store))},
+            read_seqs,
+        )
     log.log(f"  {len(alns)} alignments for {len(store)} reads")
 
     per_contig_alns: dict[str, list] = {c: [] for c in assembly.segments}
