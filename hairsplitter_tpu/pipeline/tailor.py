@@ -38,7 +38,8 @@ class TailorConfig:
     min_support: int = 5
     end_margin: int = 150  # clip tolerance at read/contig ends
     window: int = 100  # breakpoint pooling window
-    max_junction_gap: int = 200  # read-side gap allowed inside a bridge
+    max_junction_gap: int = 500  # read-side gap allowed inside a bridge
+    min_junction_fill: int = 20  # junction inserts shorter than this become 0M links
 
 
 @dataclass
@@ -70,7 +71,8 @@ def _collect_breakpoints(
 ):
     """Breakpoint and bridge evidence from read alignments."""
     bp_votes: dict[str, list[int]] = defaultdict(list)  # contig -> positions
-    bridge_votes: dict[tuple, int] = defaultdict(int)  # (c1, side1, c2, side2) -> count
+    # (c1, side1, c2, side2) -> [(read, junction q-interval)]
+    bridge_votes: dict[tuple, list] = defaultdict(list)
     for ridx, alns in alns_by_read.items():
         L = read_lens[ridx]
         alns = sorted(alns, key=lambda a: a.q_start)
@@ -85,7 +87,10 @@ def _collect_breakpoints(
                 if read_overhang > cfg.end_margin and contig_rest > cfg.end_margin:
                     pos = a.t_end if (side == "end") == (a.strand == 1) else a.t_start
                     bp_votes[a.contig].append(int(pos))
-        # bridges: consecutive alignments on the read
+        # bridges: consecutive alignments on the read; the read sequence
+        # between them is the junction gap (reference gap-fills with racon,
+        # scaffold.cpp; here: representative insert, consensus-grade for
+        # accurate reads)
         for a1, a2 in zip(alns[:-1], alns[1:]):
             if a2.q_start - a1.q_end > cfg.max_junction_gap:
                 continue
@@ -94,8 +99,15 @@ def _collect_breakpoints(
             # which end of each contig faces the junction
             side1 = "+" if a1.strand == 1 else "-"  # leaving a1 through its aligned end
             side2 = "+" if a2.strand == 1 else "-"
-            key = (a1.contig, side1, a2.contig, side2)
-            bridge_votes[key] += 1
+            flip = {"+": "-", "-": "+"}
+            fwd = (a1.contig, side1, a2.contig, side2)
+            rev = (a2.contig, flip[side2], a1.contig, flip[side1])
+            # canonicalize so both read strands vote for the same junction;
+            # flipped evidence contributes its insert reverse-complemented
+            if fwd <= rev:
+                bridge_votes[fwd].append((ridx, a1.q_end, a2.q_start, False))
+            else:
+                bridge_votes[rev].append((ridx, a1.q_end, a2.q_start, True))
     return bp_votes, bridge_votes
 
 
@@ -165,18 +177,39 @@ def correct_assembly(
         n2 = piece_of[l.name2][0][0] if l.orient2 == "+" else piece_of[l.name2][-1][0]
         out.add_link(Link(n1, l.orient1, n2, l.orient2, l.cigar))
 
-    # 2. add bridge links with enough support
+    # 2. add bridge links with enough support; junctions with sequence in
+    # between get a gap-fill contig built from the median-length read insert
     existing = {l.key() for l in out.links}
-    for (c1, s1, c2, s2), n in bridge_votes.items():
+    for (c1, s1, c2, s2), evidence in bridge_votes.items():
+        n = len(evidence)
         if n < cfg.min_support:
             continue
         p1 = piece_of[c1][-1][0] if s1 == "+" else piece_of[c1][0][0]
         p2 = piece_of[c2][0][0] if s2 == "+" else piece_of[c2][-1][0]
-        link = Link(p1, s1, p2, s2, "0M")
-        if link.key() not in existing:
-            out.add_link(link)
-            existing.add(link.key())
+        gaps = sorted(evidence, key=lambda e: e[2] - e[1])
+        med_len = gaps[len(gaps) // 2][2] - gaps[len(gaps) // 2][1]
+        if med_len >= cfg.min_junction_fill:
+            ridx, qlo, qhi, flipped = gaps[len(gaps) // 2]
+            from ..constants import revcomp
+
+            fill = read_seqs[ridx][qlo:qhi]
+            if flipped:
+                fill = revcomp(fill)
+            jname = f"junction_{p1}_{p2}"
+            out.add_segment(jname, fill, depth=float(n))
+            link1 = Link(p1, s1, jname, "+", "0M")
+            link2 = Link(jname, "+", p2, s2, "0M")
+            for link in (link1, link2):
+                if link.key() not in existing:
+                    out.add_link(link)
+                    existing.add(link.key())
             report.new_links.append((p1, s1, p2, s2, n))
+        else:
+            link = Link(p1, s1, p2, s2, "0M")
+            if link.key() not in existing:
+                out.add_link(link)
+                existing.add(link.key())
+                report.new_links.append((p1, s1, p2, s2, n))
     out.dedupe_links()
 
     # re-map against the corrected assembly for the after-metric

@@ -53,3 +53,29 @@ def test_correct_assembly_no_errors(rng):
     assert set(out.segments) == {"g"}
     assert not rep.cuts and not rep.new_links
     assert rep.end_to_end_after == rep.end_to_end_before
+
+
+def test_bridge_gap_filling(rng):
+    # genome = A + 300bp insert + B; assembly has only A and B: the junction
+    # must be gap-filled with a contig close to the true insert
+    A = random_genome(4000, rng)
+    B = random_genome(4000, rng)
+    insert = random_genome(300, rng)
+    genome = A + insert + B
+    sim = simulate_reads([genome], coverage=12, read_len=2500, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("A", A, depth=12)
+    asm.add_segment("B", B, depth=12)
+    out, rep = correct_assembly(asm, {i: s for i, s in enumerate(sim.seqs)})
+    junctions = [n for n in out.segments if n.startswith("junction_")]
+    assert junctions, out.segments.keys()
+    j = out.segments[junctions[0]]
+    assert abs(len(j) - 300) < 60, len(j)
+    # sequence matches the true insert closely (error-free reads here)
+    assert j in genome or insert in j or j in insert or _overlap(j, insert) > 0.8
+
+
+def _overlap(a, b, k=21):
+    ka = {a[i : i + k] for i in range(len(a) - k + 1)}
+    kb = {b[i : i + k] for i in range(len(b) - k + 1)}
+    return len(ka & kb) / max(1, len(ka))
