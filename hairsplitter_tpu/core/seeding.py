@@ -255,7 +255,7 @@ def find_chains(
     candidates.sort(key=lambda ch: -ch.score)
     best = candidates[0].score
     kept: list[Chain] = []
-    covered: list[tuple[int, int]] = []  # intervals on the oriented read... map to fwd read
+    covered: list[tuple[int, int]] = []  # merged intervals on the forward read
     for ch in candidates:
         if ch.score < max(min_anchors, best * min_score_frac):
             break
@@ -267,6 +267,13 @@ def find_chains(
         ov = sum(max(0, min(b, e) - max(a, st)) for st, e in covered)
         if ov > max_overlap_frac * span:
             continue
-        covered.append((a, b))
+        # merge the new interval into the covered set (no double counting)
+        merged = [(a, b)]
+        for st, e in covered:
+            if st <= merged[0][1] and e >= merged[0][0]:
+                merged[0] = (min(st, merged[0][0]), max(e, merged[0][1]))
+            else:
+                merged.append((st, e))
+        covered = merged
         kept.append(ch)
     return kept

@@ -15,10 +15,11 @@ Evidence is pooled per position window and requires >=5 supporting reads
 (scaffold.cpp:1926,2231). A before/after table of end-to-end aligned reads is
 reported like the reference's self-metric (scaffold.cpp:2304-2357).
 
-The reference also racon-gap-fills bridge junctions and reassembles unaligned
-reads with raven (:154,2160); here junctions are joined with direct links and
-unaligned-read reassembly is not yet implemented (reads that align nowhere
-are reported instead).
+Bridge junctions with read sequence between the contigs are gap-filled with a
+representative read insert (the reference racon-polishes these), and reads
+that align nowhere are reassembled into new contigs with the greedy overlap
+assembler (`core/assembler.py`, the reference shells out to raven,
+scaffold.cpp:154,2160-2166).
 """
 
 from __future__ import annotations
@@ -40,6 +41,8 @@ class TailorConfig:
     window: int = 100  # breakpoint pooling window
     max_junction_gap: int = 500  # read-side gap allowed inside a bridge
     min_junction_fill: int = 20  # junction inserts shorter than this become 0M links
+    reassemble_unaligned: bool = True  # assemble never-aligning reads into new contigs
+    min_unaligned_contig: int = 1000
 
 
 @dataclass
@@ -50,6 +53,7 @@ class TailorReport:
     cuts: list[tuple[str, int]] = field(default_factory=list)
     new_links: list[tuple] = field(default_factory=list)
     unaligned_reads: int = 0
+    reassembled_contigs: int = 0
 
 
 def _is_end_to_end(a: Alignment, read_len: int, contig_len: int, margin: int) -> bool:
@@ -211,6 +215,21 @@ def correct_assembly(
                 existing.add(link.key())
                 report.new_links.append((p1, s1, p2, s2, n))
     out.dedupe_links()
+
+    # 3. reassemble reads that aligned nowhere into new contigs
+    if cfg.reassemble_unaligned:
+        unaligned = {
+            f"u{ridx}": read_seqs[ridx]
+            for ridx in read_seqs
+            if ridx not in alns_by_read and len(read_seqs[ridx]) >= 500
+        }
+        if len(unaligned) >= cfg.min_support:
+            from ..core.assembler import greedy_assemble
+
+            new_contigs = greedy_assemble(unaligned, min_len=cfg.min_unaligned_contig)
+            for k, seq in enumerate(new_contigs):
+                out.add_segment(f"reassembled_{k}", seq, depth=0.0)
+            report.reassembled_contigs = len(new_contigs)
 
     # re-map against the corrected assembly for the after-metric
     alns2 = map_reads(out.segments, seqs, map_cfg, read_indices=idxs)

@@ -79,3 +79,17 @@ def _overlap(a, b, k=21):
     ka = {a[i : i + k] for i in range(len(a) - k + 1)}
     kb = {b[i : i + k] for i in range(len(b) - k + 1)}
     return len(ka & kb) / max(1, len(ka))
+
+
+def test_reassemble_unaligned_reads(rng):
+    known = random_genome(5000, rng)
+    novel = random_genome(5000, rng)  # a molecule missing from the assembly
+    sim = simulate_reads([known, novel], coverage=10, read_len=1500, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("known", known, depth=10)
+    out, rep = correct_assembly(asm, {i: s for i, s in enumerate(sim.seqs)})
+    assert rep.reassembled_contigs >= 1
+    re_contigs = [s for n, s in out.segments.items() if n.startswith("reassembled_")]
+    best = max(_overlap(c, novel) for c in re_contigs)
+    assert best > 0.85, best
+    assert max(len(c) for c in re_contigs) > 3000
