@@ -68,6 +68,15 @@ def test_simple_mock_pipeline(tmp_path, rng):
             region = h[lo:hi]
             frac = _containment(region, out_kmers)
             assert frac > 0.7, (i, lo, hi, frac)
+    # phasing quality: no switch errors among confidently assignable windows
+    from hairsplitter_tpu.utils.evaluate import evaluate_phasing
+
+    ev = evaluate_phasing(
+        {n: s for n, s in g.segments.items() if "consensus@2" not in n}, haps
+    )
+    assert ev.total_switch_errors == 0, [
+        (c.name, c.window_calls) for c in ev.contigs if c.switch_errors
+    ]
     # and large separated contigs must be haplotype-pure (either strand).
     # The one exception is the mock's divergent 190k-200k consensus tail,
     # which matches no haplotype by construction and is carried through
