@@ -1,0 +1,108 @@
+"""Hi-C / linked-reads untangling support.
+
+Covers GraphUnzip's interaction-matrix path (`graphunzip.py HiC-IM /
+linked-reads-IM` subcommands + `solve_with_HiC.py` / `solve_ambiguities.py`;
+unreachable from the HairSplitter CLI but part of the vendored capability,
+SURVEY §2.1 row 24): build a contig×contig interaction matrix from contact
+pairs, then resolve ambiguous nodes by matching their left and right branches
+through interaction strength and duplicating the shared contig per matched
+pair — reusing the long-read untangler's duplication machinery with
+interaction-derived pseudo-paths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.gfa import AssemblyGraph
+from .unzip import _neighbors, duplicate_contigs
+
+
+@dataclass
+class InteractionMatrix:
+    names: list[str]
+    m: np.ndarray  # [n, n] float interaction counts
+
+    def index(self, name: str) -> int:
+        return self.names.index(name)
+
+    def get(self, a: str, b: str) -> float:
+        try:
+            return float(self.m[self.index(a), self.index(b)])
+        except ValueError:
+            return 0.0
+
+
+def interaction_matrix_from_pairs(
+    contigs: list[str], pairs: list[tuple[str, str]]
+) -> InteractionMatrix:
+    """Contact pairs (e.g. Hi-C read pairs mapped to two contigs, or
+    linked-read barcodes shared by two contigs) -> symmetric count matrix
+    (GraphUnzip's HiC-IM / linked-reads-IM products)."""
+    idx = {n: i for i, n in enumerate(contigs)}
+    m = np.zeros((len(contigs), len(contigs)), dtype=np.float64)
+    for a, b in pairs:
+        if a in idx and b in idx and a != b:
+            m[idx[a], idx[b]] += 1
+            m[idx[b], idx[a]] += 1
+    return InteractionMatrix(list(contigs), m)
+
+
+def untangle_with_interactions(
+    g: AssemblyGraph,
+    im: InteractionMatrix,
+    min_ratio: float = 2.0,
+    min_signal: float = 3.0,
+) -> int:
+    """Duplicate ambiguous contigs whose flanking branches pair up by
+    interaction signal (the essence of `solve_with_HiC`/`solve_ambiguities`:
+    the true continuations of a collapsed repeat interact; spurious pairings
+    don't). Returns the number of resolved nodes."""
+    pseudo_paths: dict[int, list[tuple[str, int]]] = {}
+    next_rid = 0
+    resolved = 0
+    for name in list(g.segments):
+        left = _neighbors(g, name, "-")
+        right = _neighbors(g, name, "+")
+        if len(left) < 2 or len(right) < 2:
+            continue
+        # greedy matching of (left, right) branch pairs by interaction
+        scores = sorted(
+            ((im.get(l[0], r[0]), l, r) for l in left for r in right),
+            key=lambda t: -t[0],
+        )
+        used_l: set = set()
+        used_r: set = set()
+        matches = []
+        for sc, l, r in scores:
+            if sc < min_signal or l in used_l or r in used_r:
+                continue
+            # dominance: the pairing must beat conflicting alternatives
+            alt = max(
+                [im.get(l[0], r2[0]) for r2 in right if r2 != r and r2 not in used_r]
+                + [im.get(l2[0], r[0]) for l2 in left if l2 != l and l2 not in used_l]
+                + [0.0]
+            )
+            if sc < min_ratio * alt:
+                continue
+            used_l.add(l)
+            used_r.add(r)
+            matches.append((l, r))
+        if len(matches) < 2:
+            continue
+        resolved += 1
+        for (ln, lo), (rn, ro) in matches:
+            # pseudo read-paths: enough copies to clear the duplication
+            # support threshold of the long-read untangler
+            for _ in range(5):
+                pseudo_paths[next_rid] = [
+                    (ln, 1 if lo == "+" else 0),
+                    (name, 1),
+                    (rn, 1 if ro == "+" else 0),
+                ]
+                next_rid += 1
+    if pseudo_paths:
+        duplicate_contigs(g, pseudo_paths)
+    return resolved
