@@ -11,6 +11,7 @@ on host. Reads may produce several alignments on disjoint intervals
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 
@@ -100,6 +101,38 @@ class _Job:
     reversed_: bool  # ops must be reversed before stitching (left extension)
 
 
+@functools.lru_cache(maxsize=None)
+def _device_align_fn(spec: BandSpec, use_pallas: bool):
+    """Jitted align step that also packs backpointers 4-per-byte on device,
+    quartering the device→host transfer (bp is 2 bits of signal per byte)."""
+    import jax
+    import jax.numpy as jnp
+
+    if use_pallas:
+        from ..ops.align_pallas import banded_align_batch_pallas as fn
+    else:
+        fn = banded_align_batch
+
+    @jax.jit
+    def aligned(q, ql, t, tl):
+        r = dict(fn(q, ql, t, tl, spec))
+        bp = r.pop("bp")
+        N, B, W = bp.shape
+        nib = bp.reshape(N, B, W // 4, 4).astype(jnp.int32)
+        shifts = jnp.asarray([1, 4, 16, 64], jnp.int32)
+        r["bp4"] = (nib * shifts).sum(-1).astype(jnp.uint8)
+        return r
+
+    return aligned
+
+
+def unpack_bp4(bp4: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the device 4-per-byte backpointer packing."""
+    N, B, W4 = bp4.shape
+    out = (bp4[..., None] >> (2 * np.arange(4, dtype=np.uint8))) & 3
+    return out.reshape(N, B, W4 * 4)
+
+
 def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     """Align all jobs on device in fixed-shape batches; return per-job results
     with expanded ops, cost and trailing-query soft clip length."""
@@ -109,15 +142,16 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     B, T = spec.chunk, spec.t_width
     results: list[dict] = [None] * len(jobs)
     bucket = cfg.batch
-    align_fn = banded_align_batch
-    if cfg.use_pallas and jax.devices()[0].platform not in ("cpu",):
-        from ..ops.align_pallas import banded_align_batch_pallas
-
-        align_fn = banded_align_batch_pallas
+    on_accel = jax.devices()[0].platform not in ("cpu",)
+    if on_accel:
+        align_fn = _device_align_fn(spec, cfg.use_pallas)
+    else:
+        align_fn = None
     for lo in range(0, len(jobs), bucket):
         sub = jobs[lo : lo + bucket]
         n = len(sub)
-        npad = max(32, 1 << (n - 1).bit_length())
+        # accelerators: one fixed shape -> exactly one kernel compile per run
+        npad = bucket if on_accel else max(32, 1 << (n - 1).bit_length())
         qb = np.full((npad, B), Q_SENTINEL, dtype=np.int8)
         tb = np.full((npad, T), T_SENTINEL, dtype=np.int8)
         qlens = np.zeros(npad, dtype=np.int32)
@@ -129,9 +163,14 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        res = align_fn(qb, qlens, tb, tlens, spec)
+        if on_accel:
+            res = align_fn(qb, qlens, tb, tlens)
+            bp = unpack_bp4(np.asarray(res["bp4"]))
+        else:
+            res = banded_align_batch(qb, qlens, tb, tlens, spec)
+            bp = np.asarray(res["bp"])
         cost, start_i, start_b, clip = readout(res, qlens, tlens, modes, spec)
-        ops_list = traceback_batch(np.asarray(res["bp"]), qb, tb, start_i, start_b, spec)
+        ops_list = traceback_batch(bp, qb, tb, start_i, start_b, spec)
         for i, job in enumerate(sub):
             ops = ops_list[i]
             if job.reversed_:

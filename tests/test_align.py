@@ -194,3 +194,23 @@ def test_map_reads_with_errors(rng):
         _check_ops(qseg, tseg, exp, a.nm)
         # error rate should be near the simulated 7%
         assert a.nm / max(1, len(exp)) < 0.15
+
+
+def test_bp4_pack_roundtrip(rng):
+    """Device bp packing (4 backpointers per byte) inverts exactly on host."""
+    from hairsplitter_tpu.core.mapping import _device_align_fn, unpack_bp4
+    from hairsplitter_tpu.ops.align import banded_align_batch
+
+    spec = BandSpec(chunk=64, band=128)
+    N = 32
+    q = rng.integers(0, 4, (N, spec.chunk)).astype(np.int8)
+    t = np.full((N, spec.t_width), T_SENTINEL, dtype=np.int8)
+    t[:, : spec.chunk] = np.where(
+        rng.random((N, spec.chunk)) < 0.1, rng.integers(0, 4, (N, spec.chunk)), q
+    )
+    ql = rng.integers(1, spec.chunk + 1, N).astype(np.int32)
+    tl = rng.integers(1, spec.chunk + 1, N).astype(np.int32)
+    packed = _device_align_fn(spec, False)(q, ql, t, tl)
+    plain = banded_align_batch(q, ql, t, tl, spec)
+    assert np.array_equal(unpack_bp4(np.asarray(packed["bp4"])), np.asarray(plain["bp"]))
+    assert np.array_equal(np.asarray(packed["row_at_q"]), np.asarray(plain["row_at_q"]))
