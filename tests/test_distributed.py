@@ -1,0 +1,120 @@
+"""Multi-process distributed pipeline: 2 jax.distributed processes on the CPU
+backend (gloo collectives) must produce the same final assembly as a
+single-process run on the same inputs.
+
+The reference has no distributed layer at all (SURVEY §2.2); this exercises
+the from-scratch one in `parallel/distributed.py`: read-sharded mapping,
+contig-sharded variant calling/separation, global error-rate all-reduce,
+gather-to-0 graph stages.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from hairsplitter_tpu.utils.sim import make_haplotypes, simulate_reads, write_sim_fasta
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    rng = np.random.default_rng(11)
+    contigs = {}
+    all_names, all_seqs = [], []
+    for chrom in range(2):
+        haps = make_haplotypes(6000, 2, 0.03, rng)
+        contigs[f"chr{chrom}"] = haps[0]
+        sim = simulate_reads(
+            haps, coverage=14, read_len=1600, rng=rng,
+            sub_rate=0.02, ins_rate=0.01, del_rate=0.01, len_sd=200,
+        )
+        all_names += [f"c{chrom}_{n}" for n in sim.names]
+        all_seqs += sim.seqs
+    asm = tmp_path / "asm.fa"
+    with open(asm, "w") as f:
+        for n, s in contigs.items():
+            f.write(f">{n}\n{s}\n")
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as f:
+        for n, s in zip(all_names, all_seqs):
+            f.write(f">{n}\n{s}\n")
+    return str(asm), str(reads)
+
+
+def _worker_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def test_two_process_pipeline_matches_single(dataset, tmp_path):
+    asm, reads = dataset
+    port = _free_port()
+    out2 = tmp_path / "out2p"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "hairsplitter_tpu.parallel.distributed",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--cpu-devices", "2",
+                "-i", asm, "-f", reads, "-o", str(out2),
+            ],
+            env=_worker_env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{o[-3000:]}"
+
+    gfa2 = out2 / "hairsplitter_final_assembly.gfa"
+    assert gfa2.exists()
+
+    # single-process reference run, in-process (conftest already forces CPU)
+    from hairsplitter_tpu.pipeline.orchestrate import run_pipeline
+
+    out1 = tmp_path / "out1p"
+    gfa1 = run_pipeline(asm, reads, str(out1))
+
+    def norm(path):
+        segs, links = {}, set()
+        for line in open(path):
+            f = line.rstrip("\n").split("\t")
+            if f[0] == "S":
+                segs[f[1]] = f[2]
+            elif f[0] == "L":
+                links.add(tuple(f[1:6]))
+        return segs, links
+
+    s1, l1 = norm(gfa1)
+    s2, l2 = norm(gfa2)
+    assert s1 == s2
+    assert l1 == l2
+
+    # both processes logged the same global error rate
+    log0 = (out2 / "hairsplitter.p0.log").read_text()
+    log1 = (out2 / "hairsplitter.p1.log").read_text()
+    e0 = [l for l in log0.splitlines() if "global error rate" in l][0].split()[-1]
+    e1 = [l for l in log1.splitlines() if "global error rate" in l][0].split()[-1]
+    assert e0 == e1
