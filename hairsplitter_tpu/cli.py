@@ -59,8 +59,8 @@ def parse_args(argv=None):
         "--polisher",
         default="racon",
         choices=["racon", "medaka"],
-        help="reference-CLI parity; the in-process consensus replaces racon. "
-        "A medaka-equivalent NN polisher is not implemented yet.",
+        help="racon: in-process pileup-vote consensus (+ iterative remap "
+        "rounds on noisy reads); medaka: NN base caller (models/polisher.py)",
     )
     p.add_argument(
         "-q", "--min-read-quality", type=float, default=0,
@@ -90,6 +90,7 @@ def main(argv=None):
         technology=args.technology,
         correct_assembly=args.correct_assembly,
         polish_everything=args.polish_everything,
+        polisher=args.polisher,
         dont_simplify=args.dont_simplify,
         auto_frac=args.rescue_snps,
         haploid_coverage=args.haploid_coverage,

@@ -45,6 +45,12 @@ class MapConfig:
     # kernel and ~10x faster on TPU (in-kernel rolling target window, no
     # plane materialisation); used automatically on non-CPU backends
     use_pallas: bool = True
+    # reads with no accepted alignment get a second pass with shorter, denser
+    # minimizers (a 15-mer survives 25%+ read error with P<0.01, so very
+    # noisy reads starve of anchors; minimap2's presets hide the same knob)
+    rescue: bool = True
+    rescue_k: int = 11
+    rescue_w: int = 6
 
     @property
     def maxdrift(self) -> int:
@@ -303,6 +309,18 @@ def map_reads(
                 nm=int(nm),
             )
         )
+
+    if cfg.rescue and (cfg.k, cfg.w) != (cfg.rescue_k, cfg.rescue_w):
+        mapped = {a.read_idx for a in alignments}
+        unmapped = [i for i in read_indices if i not in mapped]
+        if unmapped:
+            from dataclasses import replace
+
+            rcfg = replace(cfg, k=cfg.rescue_k, w=cfg.rescue_w, rescue=False)
+            by_idx = dict(zip(read_indices, read_seqs))
+            alignments.extend(
+                map_reads(contigs, [by_idx[i] for i in unmapped], rcfg, read_indices=unmapped)
+            )
     return alignments
 
 

@@ -152,3 +152,16 @@ def train_polisher(
             params, opt_state, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))
         )
     return NNPolisher(params=params, model=model)
+
+
+_DEFAULT: NNPolisher | None = None
+
+
+def default_polisher() -> NNPolisher:
+    """Process-wide polisher, trained once on synthetic data at first use
+    (the reference downloads medaka's pretrained weights; here training is
+    seconds and fully reproducible — seed 0)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = train_polisher(seed=0)
+    return _DEFAULT

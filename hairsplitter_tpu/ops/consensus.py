@@ -39,8 +39,13 @@ def consensus_from_cells(
     rows_cells: list[tuple[np.ndarray, np.ndarray]],  # per read: (tpos, central codes)
     rows_insertions: list[tuple[np.ndarray, np.ndarray]],  # per read: (ins tpos, codes)
     min_cov: int = 1,
+    base_caller=None,  # optional fn(counts, cover, ins_rate, backbone) -> bases
 ) -> str:
-    """Build the consensus sequence of one read group over one interval."""
+    """Build the consensus sequence of one read group over one interval.
+
+    `base_caller` swaps the per-column majority vote for a learned caller
+    (the medaka-equivalent NN, models/polisher.py); insertion recovery stays
+    rule-based either way."""
     L = len(backbone)
     counts = np.zeros((L, 5), dtype=np.int32)
     cover = np.zeros(L, dtype=np.int32)
@@ -52,8 +57,16 @@ def consensus_from_cells(
         counts[idx, c] += 1
         cover[idx] += 1
 
-    best = counts.argmax(axis=1)
-    best_cnt = counts[np.arange(L), best]
+    if base_caller is not None:
+        ins_events = np.zeros(L, dtype=np.int32)
+        for ins_tpos, _ in rows_insertions:
+            if ins_tpos.size:
+                sel = ins_tpos[(ins_tpos >= start) & (ins_tpos < start + L)] - start
+                np.add.at(ins_events, np.unique(sel), 1)
+        ins_rate = ins_events / np.maximum(cover, 1)
+        best = np.asarray(base_caller(counts, cover, ins_rate, backbone))
+    else:
+        best = counts.argmax(axis=1)
     # no/low coverage -> keep the backbone base
     use_backbone = cover < min_cov
     out_base = np.where(use_backbone, backbone, best)
@@ -90,3 +103,49 @@ def consensus_from_cells(
             continue
         pieces.append(alphabet[b])
     return "".join(pieces)
+
+
+def polish_iterative(
+    draft: str,
+    reads: list[str],
+    rounds: int = 2,
+    map_cfg=None,
+    base_caller=None,
+    min_len: int = 300,
+) -> str:
+    """racon-style convergence polish: remap the group's reads to the current
+    draft and rebuild the pileup consensus, iterating to a fixpoint.
+
+    The reference converges the same way by chaining subprocesses — minimap2 →
+    `samtools consensus` → minimap2 → racon (`src/tools.cpp:317-557`); here
+    each round is one batched banded-DP mapping plus the in-process pileup
+    vote. Worth the extra rounds only on very noisy reads: the single-pass
+    consensus is already exact at ≤10% read error (tests/test_consensus.py),
+    but at ~14% substitutions the first-pass backbone alignments smear indels,
+    and one remap against the corrected draft recovers them."""
+    from ..constants import encode_seq
+    from ..core.mapping import MapConfig, map_reads
+    from ..pipeline.pileup import alignment_cells_full, orient_read
+
+    cur = draft
+    if len(cur) < min_len or not reads:
+        return cur
+    cfg = map_cfg or MapConfig()
+    codes = [encode_seq(r) for r in reads]
+    for _ in range(rounds):
+        alns = map_reads({"d": cur}, reads, cfg)
+        if not alns:
+            break
+        cells, inss = [], []
+        for a in alns:
+            oriented = orient_read(codes[a.read_idx], a.strand)
+            tpos, tri, it, ic = alignment_cells_full(a, oriented)
+            cells.append((tpos, (np.asarray(tri, np.int16) // 25).astype(np.int8)))
+            inss.append((it, ic))
+        new = consensus_from_cells(
+            encode_seq(cur), 0, cells, inss, base_caller=base_caller
+        )
+        if new == cur or len(new) < min_len:
+            break
+        cur = new
+    return cur

@@ -138,6 +138,8 @@ def create_new_contigs(
     per_contig: dict[str, tuple[list[Alignment], ContigGroups]],
     read_seqs: dict[int, str],
     polish_everything: bool = False,
+    polish_rounds: int = 0,  # extra racon-style remap+vote rounds (noisy reads)
+    base_caller=None,  # medaka-equivalent NN caller (models/polisher.py)
 ) -> ZipResult:
     """Build the zipped assembly graph from all contigs' window groups."""
     new_graph = AssemblyGraph()
@@ -188,7 +190,18 @@ def create_new_contigs(
                 if (separated or polish_everything) and rows.size:
                     rc = [(cells[r][0], cells[r][1]) for r in rows]
                     ri = [(cells[r][2], cells[r][3]) for r in rows]
-                    seq_g = consensus_from_cells(backbone, iv.start, rc, ri)
+                    seq_g = consensus_from_cells(
+                        backbone, iv.start, rc, ri, base_caller=base_caller
+                    )
+                    if polish_rounds > 0:
+                        from ..ops.consensus import polish_iterative
+
+                        seq_g = polish_iterative(
+                            seq_g,
+                            [read_seqs[alns[r].read_idx] for r in rows],
+                            rounds=polish_rounds,
+                            base_caller=base_caller,
+                        )
                 else:
                     seq_g = "".join("ACGT-N"[c] for c in backbone)
                 new_graph.add_segment(name, seq_g, depths.get(g, 0.0))

@@ -44,6 +44,7 @@ class PipelineConfig:
     technology: str = "ont"
     correct_assembly: bool = False  # reference --correct-assembly (GenomeTailor)
     polish_everything: bool = False
+    polisher: str = "racon"  # reference -p: racon (pileup vote) | medaka (NN caller)
     dont_simplify: bool = False  # reference -s: skip GraphUnzip
     auto_frac: float = 0.33  # reference -u
     haploid_coverage: float = 0.0  # reference -c (ploidy inference)
@@ -209,7 +210,28 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     # ---- stage 5: create new contigs ---------------------------------------
     log.log("STAGE 5 creating new contigs")
     zip_in = {c: (per_contig_alns[c], groups[c]) for c in assembly.segments}
-    zr = create_new_contigs(assembly, zip_in, read_seqs, cfg.polish_everything)
+    base_caller = None
+    if cfg.polisher == "medaka":
+        from ..models.polisher import default_polisher
+
+        nn = default_polisher()
+        base_caller = lambda counts, cover, ins_rate, backbone: nn.polish_counts(  # noqa: E731
+            counts, ins_rate, backbone
+        )
+        log.log("  polishing with the NN base caller (medaka-equivalent)")
+    # racon-style extra remap+vote rounds pay off only on very noisy reads:
+    # the single-pass consensus is exact at <=10% read error
+    polish_rounds = 2 if error_rate > 0.08 else 0
+    if polish_rounds:
+        log.log(f"  noisy reads ({error_rate:.3f}): {polish_rounds} extra polish rounds")
+    zr = create_new_contigs(
+        assembly,
+        zip_in,
+        read_seqs,
+        cfg.polish_everything,
+        polish_rounds=polish_rounds,
+        base_caller=base_caller,
+    )
     write_gfa(zr.graph, os.path.join(tmp_dir, "zipped_assembly.gfa"))
     write_gaf(
         os.path.join(tmp_dir, "reads_on_new_contig.gaf"),

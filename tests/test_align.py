@@ -214,3 +214,15 @@ def test_bp4_pack_roundtrip(rng):
     plain = banded_align_batch(q, ql, t, tl, spec)
     assert np.array_equal(unpack_bp4(np.asarray(packed["bp4"])), np.asarray(plain["bp"]))
     assert np.array_equal(np.asarray(packed["row_at_q"]), np.asarray(plain["row_at_q"]))
+
+
+def test_rescue_mapping_at_ultra_noise(rng):
+    """15-mer anchors starve at 28% read error; the shorter-minimizer rescue
+    pass must still map nearly everything."""
+    truth = random_genome(2000, rng)
+    sim = simulate_reads([truth], coverage=20, read_len=2000, rng=rng,
+                         sub_rate=0.14, ins_rate=0.07, del_rate=0.07)
+    alns = map_reads({"t": truth}, sim.seqs)
+    assert len({a.read_idx for a in alns}) >= 0.9 * len(sim.seqs)
+    no_rescue = map_reads({"t": truth}, sim.seqs, MapConfig(rescue=False))
+    assert len({a.read_idx for a in no_rescue}) < 0.7 * len(sim.seqs)

@@ -68,3 +68,19 @@ def test_consensus_recovers_divergent_haplotype(rng):
     d_backbone = _edit_distance(cons, backbone)
     assert d_truth <= 4, d_truth
     assert d_backbone > 15  # clearly moved away from the backbone
+
+
+def test_consensus_exact_at_ultra_noise(rng):
+    """28% total read error (old-ONT worst case): the rescue mapping pass
+    (core/mapping.py MapConfig.rescue) keeps coverage full, so the pileup
+    vote stays exact; iterative polish must not degrade it."""
+    from hairsplitter_tpu.ops.consensus import polish_iterative
+    from hairsplitter_tpu.utils.sim import simulate_reads as _sr
+
+    truth = make_haplotypes(2000, 1, 0.001, rng)[0]
+    cons = _consensus_of(truth, truth, rng, cov=30, err=0.14)
+    assert _edit_distance(cons, truth) <= 2
+    sim = _sr([truth], coverage=30, read_len=2000, rng=rng,
+              sub_rate=0.14, ins_rate=0.07, del_rate=0.07)
+    cons2 = polish_iterative(cons, sim.seqs, rounds=2)
+    assert _edit_distance(cons2, truth) <= 2
