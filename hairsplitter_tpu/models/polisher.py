@@ -117,8 +117,16 @@ class NNPolisher:
 
     def polish_counts(self, counts: np.ndarray, ins_rate: np.ndarray, backbone: np.ndarray) -> np.ndarray:
         """Predicted base codes per position (4 = deletion)."""
-        feats = pileup_features(counts, ins_rate, backbone)
-        return self.logits(feats).argmax(axis=1).astype(np.int8)
+        from ..utils.shapes import pad_axis, pow2_bucket
+
+        L = counts.shape[0]
+        Lb = pow2_bucket(L, minimum=256)  # one compile per length bucket
+        feats = pileup_features(
+            pad_axis(counts, 0, Lb, 0),
+            pad_axis(ins_rate, 0, Lb, 0.0),
+            pad_axis(backbone, 0, Lb, 0),
+        )
+        return self.logits(feats).argmax(axis=1).astype(np.int8)[:L]
 
 
 def train_polisher(

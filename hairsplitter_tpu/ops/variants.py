@@ -93,3 +93,30 @@ def window_error_stats(tri: jnp.ndarray, contig_codes: jnp.ndarray):
     central = (tri.astype(jnp.int32)) // 25
     mism = present & (central != contig_codes[None, :].astype(jnp.int32))
     return jnp.sum(mism, dtype=jnp.int32), jnp.sum(present, dtype=jnp.int32)
+
+
+def column_stats_host(tri: np.ndarray):
+    """Numpy twin of `column_stats` (bit-identical outputs).
+
+    Small windows through a remote-tunneled device lose to dispatch latency
+    and per-shape compiles; the host path keeps stage 3 shape-oblivious."""
+    R, P = tri.shape
+    t = tri.astype(np.int64)
+    t[t == TRIMER_ABSENT] = N_TRIMERS  # trash bin
+    flat = np.arange(P, dtype=np.int64) * (N_TRIMERS + 1)
+    counts = np.bincount(
+        (t + flat[None, :]).ravel(), minlength=P * (N_TRIMERS + 1)
+    ).reshape(P, N_TRIMERS + 1)[:, :N_TRIMERS]
+    key = counts * N_TRIMERS - np.arange(N_TRIMERS, dtype=np.int64)[None, :]
+    topi = np.argsort(-key, axis=1, kind="stable")[:, :3].astype(np.int32)
+    topc = np.take_along_axis(counts, topi, axis=1).astype(np.int32)
+    coverage = counts.sum(axis=1).astype(np.int32)
+    return topi, topc, coverage
+
+
+def window_error_stats_host(tri: np.ndarray, contig_codes: np.ndarray):
+    """Numpy twin of `window_error_stats` (bit-identical outputs)."""
+    present = tri != TRIMER_ABSENT
+    central = tri.astype(np.int32) // 25
+    mism = present & (central != contig_codes[None, :].astype(np.int32))
+    return int(mism.sum()), int(present.sum())

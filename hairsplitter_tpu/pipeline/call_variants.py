@@ -21,6 +21,7 @@ import numpy as np
 from ..constants import GAP, TRIMER_ABSENT, encode_seq
 from ..core.datatypes import Alignment
 from ..ops.variants import column_stats, suspect_mask, window_error_stats
+from ..utils.shapes import pad_axis, pow2_bucket
 from .pileup import WINDOW, build_window_blocks, orient_read
 
 
@@ -59,6 +60,10 @@ class VariantCallConfig:
     max_partition_span: int = 50_000
     p_value: float = 1e-3
     error_cap: float = 0.15  # hairsplitter.py:691-692
+    # pileup windows with fewer (bucketed) reads than this use the numpy
+    # column-stats twins: device dispatch + per-bucket compiles only pay off
+    # on big windows
+    device_min_rows: int = 256
 
 
 def _chi2_tables(n00, n01, n10, n11):
@@ -300,8 +305,19 @@ def prepare_contig(
     for blk in blocks:
         codes_w = np.full(cfg.window, 5, dtype=np.int8)
         codes_w[: blk.length] = contig_codes[blk.start : blk.start + blk.length]
-        tc, tn, cov = column_stats(blk.tri)
-        mm, cc = window_error_stats(blk.tri, codes_w)
+        # static-shape bucket on the ragged read axis: one compile per bucket,
+        # not per distinct read count (absent-trimer rows are no-ops); below
+        # the bucket floor the numpy twins win over device dispatch latency
+        rb = pow2_bucket(blk.tri.shape[0], minimum=32)
+        if rb >= cfg.device_min_rows:
+            tri = pad_axis(blk.tri, 0, rb, TRIMER_ABSENT)
+            tc, tn, cov = column_stats(tri)
+            mm, cc = window_error_stats(tri, codes_w)
+        else:
+            from ..ops.variants import column_stats_host, window_error_stats_host
+
+            tc, tn, cov = column_stats_host(blk.tri)
+            mm, cc = window_error_stats_host(blk.tri, codes_w)
         prep.mismatches += int(mm)
         prep.cells += int(cc)
         prep.win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))

@@ -22,6 +22,7 @@ import numpy as np
 
 from .. import native
 from ..ops.cluster import cw_numpy, sims_diffs
+from ..utils.shapes import pad_axis, pow2_bucket
 from .call_variants import ContigVariants, SparseColumn
 
 
@@ -385,7 +386,12 @@ def separate_reads_for_contig(
     if columns and n_rows:
         A, R = _allele_indicators(columns, n_rows)
         if cfg.use_device_matmul and n_rows >= 256:
-            sim, diff = map(np.asarray, sims_diffs(A, R))
+            # static-shape buckets: zero indicator rows/cols are no-ops
+            rb = pow2_bucket(A.shape[0])
+            sb = pow2_bucket(A.shape[1])
+            Ap = pad_axis(pad_axis(A, 0, rb, 0.0), 1, sb, 0.0)
+            Rp = pad_axis(pad_axis(R, 0, rb, 0.0), 1, sb, 0.0)
+            sim, diff = (np.asarray(m)[:n_rows, :n_rows] for m in sims_diffs(Ap, Rp))
         else:
             sim, diff = _sims_diffs_host(A, R)
     else:
@@ -454,10 +460,15 @@ def separate_reads_for_contig(
             from ..ops.cluster import chinese_whispers_multi
 
             inits = np.stack(seeds).astype(np.int32)
-            labs = np.asarray(
-                chinese_whispers_multi(adj.astype(np.float32), inits, mask)
-            )
-            local = [labs[k].astype(np.int64) for k in range(labs.shape[0])]
+            # static-shape buckets on nodes and seeds: padded nodes have no
+            # edges and mask False (labels stay -2), padded seeds are sliced
+            nb = pow2_bucket(adj.shape[0])
+            kb = pow2_bucket(inits.shape[0], minimum=8)
+            adj_p = pad_axis(pad_axis(adj.astype(np.float32), 0, nb, 0.0), 1, nb, 0.0)
+            mask_p = pad_axis(mask, 0, nb, False)
+            inits_p = pad_axis(pad_axis(inits, 1, nb, -2), 0, kb, -2)
+            labs = np.asarray(chinese_whispers_multi(adj_p, inits_p, mask_p))
+            local = [labs[k, :n_rows].astype(np.int64) for k in range(len(seeds))]
         else:
             local = [run_cw(adj, init, mask) for init in seeds]
 

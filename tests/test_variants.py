@@ -147,3 +147,29 @@ def test_partition_recurrence_filters_random_noise(rng):
     cv = call_variants_for_contig("ctg", consensus, alns, read_seqs)
     # random errors shouldn't produce recurring partitions
     assert len(cv.columns) <= 10, [c.pos for c in cv.columns]
+
+
+def test_column_stats_host_twin_matches_device(rng):
+    """Numpy twins must be bit-identical to the jitted ops (they take over on
+    small windows to avoid per-shape device compiles)."""
+    import numpy as np
+
+    from hairsplitter_tpu.constants import TRIMER_ABSENT
+    from hairsplitter_tpu.ops.variants import (
+        column_stats,
+        column_stats_host,
+        window_error_stats,
+        window_error_stats_host,
+    )
+
+    R, P = 37, 512
+    tri = rng.integers(0, 125, (R, P)).astype(np.int8)
+    tri[rng.random((R, P)) < 0.4] = TRIMER_ABSENT
+    codes_w = rng.integers(0, 5, P).astype(np.int8)
+    tc_d, tn_d, cov_d = (np.asarray(x) for x in column_stats(tri))
+    tc_h, tn_h, cov_h = column_stats_host(tri)
+    assert np.array_equal(tc_d, tc_h)
+    assert np.array_equal(tn_d, tn_h)
+    assert np.array_equal(cov_d, cov_h)
+    mm_d, cc_d = (int(x) for x in window_error_stats(tri, codes_w))
+    assert (mm_d, cc_d) == window_error_stats_host(tri, codes_w)
