@@ -126,8 +126,12 @@ def _device_align_fn(spec: BandSpec, use_pallas: bool):
         N, B, W = bp.shape
         nib = bp.reshape(N, B, W // 4, 4).astype(jnp.int32)
         shifts = jnp.asarray([1, 4, 16, 64], jnp.int32)
-        r["bp4"] = (nib * shifts).sum(-1).astype(jnp.uint8)
-        return r
+        bp4 = (nib * shifts).sum(-1).astype(jnp.uint8)
+        # one bundled small-output tensor -> one device->host pull
+        meta = jnp.concatenate(
+            [r["row_at_q"], r["colmin_val"][:, None], r["colmin_i"][:, None]], axis=1
+        )
+        return bp4, meta
 
     return aligned
 
@@ -170,8 +174,15 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             tlens[i] = len(job.t)
             modes[i] = job.mode
         if on_accel:
-            res = align_fn(qb, qlens, tb, tlens)
-            bp = unpack_bp4(np.asarray(res["bp4"]))
+            bp4, meta = align_fn(qb, qlens, tb, tlens)
+            meta = np.asarray(meta)  # pulls compute; bp4 pull below overlaps
+            W = spec.band
+            res = {
+                "row_at_q": meta[:, :W],
+                "colmin_val": meta[:, W],
+                "colmin_i": meta[:, W + 1],
+            }
+            bp = unpack_bp4(np.asarray(bp4))
         else:
             res = banded_align_batch(qb, qlens, tb, tlens, spec)
             bp = np.asarray(res["bp"])

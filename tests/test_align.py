@@ -210,10 +210,13 @@ def test_bp4_pack_roundtrip(rng):
     )
     ql = rng.integers(1, spec.chunk + 1, N).astype(np.int32)
     tl = rng.integers(1, spec.chunk + 1, N).astype(np.int32)
-    packed = _device_align_fn(spec, False)(q, ql, t, tl)
+    bp4, meta = _device_align_fn(spec, False)(q, ql, t, tl)
     plain = banded_align_batch(q, ql, t, tl, spec)
-    assert np.array_equal(unpack_bp4(np.asarray(packed["bp4"])), np.asarray(plain["bp"]))
-    assert np.array_equal(np.asarray(packed["row_at_q"]), np.asarray(plain["row_at_q"]))
+    assert np.array_equal(unpack_bp4(np.asarray(bp4)), np.asarray(plain["bp"]))
+    meta = np.asarray(meta)
+    assert np.array_equal(meta[:, : spec.band], np.asarray(plain["row_at_q"]))
+    assert np.array_equal(meta[:, spec.band], np.asarray(plain["colmin_val"]))
+    assert np.array_equal(meta[:, spec.band + 1], np.asarray(plain["colmin_i"]))
 
 
 def test_rescue_mapping_at_ultra_noise(rng):
