@@ -40,7 +40,7 @@ def main():
         from hairsplitter_tpu.ops.align_pallas import banded_align_batch_pallas
 
         kernel_name = "pallas"
-        N = 8192
+        N = 16384
 
         def align_fn(*a):
             return banded_align_batch_pallas(*a, spec)

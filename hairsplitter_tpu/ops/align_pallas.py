@@ -73,17 +73,23 @@ def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
         step = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, W), dimension=1)
         last_lane = lane == W - 1
+        inf_m_lane = INF - lane  # the INF clamp in x-space (x = D - lane)
         tlen = tlen_ref[:]
         qlen = qlen_ref[:]
+        tlen_u = tlen.astype(jnp.uint32)
 
+        # The DP state is carried in x-space (x[b] = D[b] - b): the prefix-min
+        # 'D'-run recurrence is a plain running min there, so the per-row
+        # ±lane conversions disappear. Equalities (backpointers) and masking
+        # are shift-invariant; captures convert back to D once, at flush.
         @pl.when(step == 0)
         def _init():
             j0 = lane - dl
             r0 = jnp.where((j0 >= 0) & (j0 <= tlen), j0, INF)
-            prev[:] = r0
-            rowq[:] = jnp.where(qlen == 0, r0, INF)
+            prev[:] = r0 - lane
+            rowq[:] = jnp.where(qlen == 0, r0 - lane, inf_m_lane)
             t_win[:] = t0_ref[:].astype(jnp.int32)
-            colc[:] = jnp.full((S, W), INF, jnp.int32)
+            colc[:] = inf_m_lane
 
         def row_body(r, carry):
             p, tw, rq, cc = carry
@@ -91,18 +97,19 @@ def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
             qc = qcol_ref[0, :, r].astype(jnp.int32).reshape(S, 1)
             sub = jnp.where(tw == qc, 0, 1)
             diag = p + sub
-            up = jnp.where(last_lane, INF, pltpu.roll(p, W - 1, axis=1)) + 1
-            tmp = jnp.minimum(diag, up)
+            # D_up[b] = D_prev[b+1] + 1  →  x_up[b] = x_prev[b+1] + 2
+            up = jnp.where(last_lane, INF + 1 - (W - 1), pltpu.roll(p, W - 1, axis=1) + 2)
+            x = jnp.minimum(diag, up)
             # exact prefix-min ladder over lanes (the 'D'-run recurrence)
-            x = tmp - lane
             k = 1
             while k < W:
                 x = jnp.minimum(x, jnp.where(lane >= k, pltpu.roll(x, k, axis=1), INF))
                 k *= 2
-            row = x + lane
+            # cells outside [0, tlen] (one unsigned compare: j<0 wraps) or
+            # beyond qlen are INF; valid cells clamp at INF
             jv = lane + (i - dl)
-            invalid = (jv < 0) | (jv > tlen) | (i > qlen)
-            row = jnp.where(invalid, INF, jnp.minimum(row, INF))
+            invalid = (jv.astype(jnp.uint32) > tlen_u) | (i > qlen)
+            row = jnp.where(invalid, inf_m_lane, jnp.minimum(x, inf_m_lane))
             op = jnp.where(row == diag, BP_DIAG, jnp.where(row == up, BP_UP, BP_LEFT))
             bp_ref[:, r, :] = op.astype(jnp.uint8)
 
@@ -127,11 +134,12 @@ def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
 
         @pl.when(step == n_steps - 1)
         def _flush():
-            rowq_ref[:] = rq
+            rowq_ref[:] = rq + lane  # back to D-space
             # colmin over the collected column cells; ties pick the earliest
             # row i, i.e. the LARGEST lane (i = tlen + dl - lane)
-            cv = jnp.min(cc, axis=1, keepdims=True)
-            sel = jnp.max(jnp.where(cc == cv, lane, -1), axis=1, keepdims=True)
+            ccd = cc + lane
+            cv = jnp.min(ccd, axis=1, keepdims=True)
+            sel = jnp.max(jnp.where(ccd == cv, lane, -1), axis=1, keepdims=True)
             ci = jnp.where(cv >= INF, 0, tlen[:, :1] + dl - sel)
             colv_ref[:] = jnp.broadcast_to(cv, (S, 128))
             coli_ref[:] = jnp.broadcast_to(ci, (S, 128))
