@@ -1,0 +1,88 @@
+"""Standalone GraphUnzip-equivalent CLI (hairsplitter_tpu/graphunzip.py)."""
+
+import numpy as np
+import pytest
+
+from hairsplitter_tpu.graphunzip import main as gz_main
+from hairsplitter_tpu.io.gfa import parse_gfa
+from hairsplitter_tpu.utils.sim import random_genome
+
+
+def _gaf_line(read, path, qlen=1000):
+    return f"{read}\t{qlen}\t0\t{qlen}\t+\t{path}\t3000\t0\t3000\t950\t1000\t60\tid:f:0.95\n"
+
+
+@pytest.fixture
+def collapsed_graph(tmp_path, rng):
+    """A1/A2 -> X (collapsed) -> C1/C2 with read paths pairing A1-C1, A2-C2."""
+    seqs = {n: random_genome(800, rng) for n in ("A1", "A2", "C1", "C2")}
+    seqs["X"] = random_genome(1200, rng)
+    gfa = tmp_path / "in.gfa"
+    with open(gfa, "w") as f:
+        for n, s in seqs.items():
+            f.write(f"S\t{n}\t{s}\tDP:f:20\n")
+        for a in ("A1", "A2"):
+            f.write(f"L\t{a}\t+\tX\t+\t0M\n")
+        for c in ("C1", "C2"):
+            f.write(f"L\tX\t+\t{c}\t+\t0M\n")
+    gaf = tmp_path / "aln.gaf"
+    with open(gaf, "w") as f:
+        for k in range(3):
+            f.write(_gaf_line(f"r1_{k}", ">A1>X>C1"))
+            f.write(_gaf_line(f"r2_{k}", ">A2>X>C2"))
+    return gfa, gaf, seqs
+
+
+def test_unzip_subcommand_duplicates_collapsed_node(collapsed_graph, tmp_path):
+    gfa, gaf, seqs = collapsed_graph
+    out = tmp_path / "out.gfa"
+    sup = tmp_path / "supercontigs.txt"
+    rc = gz_main(
+        ["unzip", "-g", str(gfa), "-l", str(gaf), "-o", str(out), "-e",
+         "--supercontigs", str(sup)]
+    )
+    assert rc == 0
+    g = parse_gfa(str(out))
+    # X was duplicated and each A-X-C chain merged into one supercontig
+    assert len(g.segments) == 2
+    joined = sorted(g.segments.values())
+    expect = sorted([seqs["A1"] + seqs["X"] + seqs["C1"], seqs["A2"] + seqs["X"] + seqs["C2"]])
+    assert joined == expect
+    assert sup.exists() and len(sup.read_text().splitlines()) == 2
+
+
+def test_hic_im_and_untangle(tmp_path, rng):
+    """Hi-C mates drawn from the true haplotype junctions resolve X."""
+    seqs = {n: random_genome(1500, rng) for n in ("A1", "A2", "C1", "C2")}
+    seqs["X"] = random_genome(1500, rng)
+    gfa = tmp_path / "in.gfa"
+    with open(gfa, "w") as f:
+        for n, s in seqs.items():
+            f.write(f"S\t{n}\t{s}\tDP:f:20\n")
+        for a in ("A1", "A2"):
+            f.write(f"L\t{a}\t+\tX\t+\t0M\n")
+        for c in ("C1", "C2"):
+            f.write(f"L\tX\t+\t{c}\t+\t0M\n")
+    # mate pairs: one end in A_i, the other in C_i (same haplotype)
+    r1, r2 = tmp_path / "r1.fa", tmp_path / "r2.fa"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        k = 0
+        for a, c in (("A1", "C1"), ("A2", "C2")):
+            for _ in range(8):
+                s1 = int(rng.integers(0, 1000))
+                s2 = int(rng.integers(0, 1000))
+                f1.write(f">p{k}\n{seqs[a][s1:s1+400]}\n")
+                f2.write(f">p{k}\n{seqs[c][s2:s2+400]}\n")
+                k += 1
+    im_path = tmp_path / "im.npz"
+    assert gz_main(["hic-im", "-g", str(gfa), "-1", str(r1), "-2", str(r2), "-o", str(im_path)]) == 0
+    data = np.load(im_path, allow_pickle=True)
+    names = list(data["names"])
+    m = data["m"]
+    assert m[names.index("A1"), names.index("C1")] >= 6
+    assert m[names.index("A1"), names.index("C2")] == 0
+
+    out = tmp_path / "out.gfa"
+    assert gz_main(["untangle-im", "-g", str(gfa), "-m", str(im_path), "-o", str(out)]) == 0
+    g = parse_gfa(str(out))
+    assert len(g.segments) == 2  # two phased supercontigs
