@@ -37,13 +37,17 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
-        from hairsplitter_tpu.ops.align_pallas import banded_align_batch_pallas
+        from hairsplitter_tpu.ops.align_myers_pallas import myers_rows_pallas
 
-        kernel_name = "pallas"
+        kernel_name = "myers-pallas"
         N = 16384
 
-        def align_fn(*a):
-            return banded_align_batch_pallas(*a, spec)
+        def align_fn(q0, ql, t0_, tl):
+            # Myers streams P/M delta words; scores/backpointers are host
+            # reconstructions (ops/align_myers.py), so the kernel is the
+            # device cost. Bit-identical outputs proven in tests.
+            p, m = myers_rows_pallas(q0, t0_, spec)
+            return {"row_at_q": p[0, 0, 0, 0, :128].astype(jnp.int32), "bp": m[0, 0]}
 
     else:
         kernel_name = "jnp-scan"

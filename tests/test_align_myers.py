@@ -89,3 +89,24 @@ def test_myers_traceback_identical():
     ops_g = traceback_batch(got["bp"], q, t, si_g, sb_g, spec)
     for a, b in zip(ops_g, ops_r):
         np.testing.assert_array_equal(a, b)
+
+
+def test_myers_pallas_interpret_matches_numpy():
+    from hairsplitter_tpu.ops.align_myers_pallas import (
+        banded_align_batch_myers,
+        myers_rows_pallas,
+        words_from_device,
+    )
+
+    spec = BandSpec(chunk=64, band=128)
+    rng = np.random.default_rng(3)
+    q, qlens, t, tlens = _random_batch(rng, 32, spec)
+    P_np, M_np = myers_rows_numpy(q, t, spec)
+    p_dev, m_dev = myers_rows_pallas(q, t, spec, interpret=True)
+    np.testing.assert_array_equal(words_from_device(np.asarray(p_dev), spec.chunk), P_np)
+    np.testing.assert_array_equal(words_from_device(np.asarray(m_dev), spec.chunk), M_np)
+
+    ref = {k: np.asarray(v) for k, v in banded_align_batch(q, qlens, t, tlens, spec).items()}
+    got = banded_align_batch_myers(q, qlens, t, tlens, spec, interpret=True)
+    for k in ("bp", "row_at_q", "colmin_val", "colmin_i"):
+        np.testing.assert_array_equal(got[k], ref[k])
