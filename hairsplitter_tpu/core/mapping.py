@@ -45,6 +45,11 @@ class MapConfig:
     # kernel and ~10x faster on TPU (in-kernel rolling target window, no
     # plane materialisation); used automatically on non-CPU backends
     use_pallas: bool = True
+    # Myers bit-vector kernel (ops/align_myers_pallas.py): ~5x the device
+    # rate again (121 Gcells/s on v5e), bit-identical end to end, but its
+    # host-side value reconstruction currently costs more than the device
+    # saves on this 2-core host — opt-in until the adapter is nativized
+    use_myers: bool = False
     # reads with no accepted alignment get a second pass with shorter, denser
     # minimizers (a 15-mer survives 25%+ read error with P<0.01, so very
     # noisy reads starve of anchors; minimap2's presets hide the same knob)
@@ -173,7 +178,16 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        if on_accel:
+        if cfg.use_myers and spec.band == 128:
+            from ..ops.align_myers import myers_to_align_result
+            from ..ops.align_myers_pallas import myers_rows_pallas, words_from_device
+
+            p_dev, m_dev = myers_rows_pallas(qb, tb, spec, interpret=not on_accel)
+            P = words_from_device(np.asarray(p_dev), B)
+            M = words_from_device(np.asarray(m_dev), B)
+            res = myers_to_align_result(P, M, qb, tb, qlens, tlens, spec)
+            bp = res["bp"]
+        elif on_accel:
             bp4, meta = align_fn(qb, qlens, tb, tlens)
             meta = np.asarray(meta)  # pulls compute; bp4 pull below overlaps
             W = spec.band

@@ -107,22 +107,25 @@ def phase_window_jit(sim, diff, mask, inits, err, n_iters: int = 30):
 
 
 def phase_contigs_batch(
+    pileup: jnp.ndarray,  # int8 [C, R, P] trimer codes (TRIMER_ABSENT = none)
+    contig_codes: jnp.ndarray,  # int8 [C, P]
     A: jnp.ndarray,  # f32 [C, R, S] second-allele indicators
     Rm: jnp.ndarray,  # f32 [C, R, S] majority-allele indicators
-    pileup_mism: jnp.ndarray,  # int32 [C] mismatched cells per contig
-    pileup_cov: jnp.ndarray,  # int32 [C] covered cells per contig
     mask: jnp.ndarray,  # bool [C, R]
     inits: jnp.ndarray,  # int32 [C, K, R]
     n_iters: int = 30,
 ):
-    """The full stage-4 device step over a batch of contigs: the global
-    error-rate reduction (the reference's omp-critical sum,
+    """The full stage-3/4 device step over a batch of contig windows: the
+    global error-rate reduction (the reference's omp-critical sum,
     `src/call_variants.cpp:1310-1316` — an all-reduce under sharding),
     contig-level sims/diffs matmuls, and the per-window graph + CW.  This is
-    the function the driver's multi-chip dryrun shards; the pipeline runs the
-    same `phase_window_core` per window."""
-    err = jnp.sum(pileup_mism).astype(jnp.float32) / jnp.maximum(
-        jnp.sum(pileup_cov).astype(jnp.float32), 1.0
+    the function the driver's multi-chip dryrun shards, built from the same
+    `window_error_stats` / `phase_window_core` the pipeline runs."""
+    from .variants import window_error_stats
+
+    mism, cov = jax.vmap(window_error_stats)(pileup, contig_codes)
+    err = jnp.sum(mism).astype(jnp.float32) / jnp.maximum(
+        jnp.sum(cov).astype(jnp.float32), 1.0
     )
     sim, diff = jax.vmap(sims_diffs_core)(A, Rm)
     adj, labels = jax.vmap(

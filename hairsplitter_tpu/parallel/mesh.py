@@ -1,28 +1,31 @@
-"""Device-mesh sharding of the phasing core (SPMD over contigs x positions).
+"""Device-mesh sharding of the PRODUCTION phasing step (SPMD contigs x SNPs).
 
 The reference is single-node OpenMP: a `parallel for` over contigs with one
 critical-section reduction for the global error rate
 (`src/call_variants.cpp:1276-1371`). Here the same structure becomes a 2-D
-`jax.sharding.Mesh`:
+`jax.sharding.Mesh` over `ops.phase.phase_contigs_batch` — the exact device
+code the pipeline runs per window (`pipeline/separate_reads.py` routes its
+device branch through `phase_window_core`):
 
-  axis 'ctg'  — data parallelism over contig (chunks), the OpenMP-loop axis;
+  axis 'ctg'  — data parallelism over contig windows, the OpenMP-loop axis;
   axis 'pos'  — sequence parallelism over pileup positions / SNP columns
                 (the reference's 300 kb chunking + 2000 bp windowing axis).
 
-Inputs are annotated with NamedSharding and the computation is a single jit:
-XLA inserts the collectives — a psum-style all-reduce for the global error
-rate and for the sims/diffs contraction over the sharded SNP axis. On a pod
-slice, 'ctg' maps across hosts (DCN) and 'pos' across chips (ICI).
+XLA inserts the collectives: an all-reduce for the global error rate (int
+sums — exact) and for the sims/diffs contraction over the sharded SNP axis
+(0/1 indicator products — exact in f32), so sharded == unsharded bit for bit
+(tests/test_sharding.py). On a pod slice, 'ctg' maps across hosts (DCN) and
+'pos' across chips (ICI).
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import N_TRIMERS, TRIMER_ABSENT
+from ..ops.phase import phase_contigs_batch
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -39,98 +42,58 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs).reshape(ctg, n // ctg), ("ctg", "pos"))
 
 
-def phase_core(pileup, contig_codes, A, R, init_labels, mask):
-    """The device phasing step over a batch of contigs.
-
-    pileup:       int8 [C, Rr, Pp] trimer codes (TRIMER_ABSENT = no coverage)
-    contig_codes: int8 [C, Pp]
-    A, R:         f32 [C, Rr, S] second/majority allele indicators
-    init_labels:  int32 [C, Rr]
-    mask:         bool [C, Rr]
-
-    Returns (error_rate scalar, counts [C, Pp, 125], labels [C, Rr]).
-    """
-    present = pileup != TRIMER_ABSENT
-    central = pileup.astype(jnp.int32) // 25
-    mism = present & (central != contig_codes[:, None, :].astype(jnp.int32))
-    # global error rate: reduction over every axis (the reference's
-    # omp-critical sum -> an XLA all-reduce over both mesh axes)
-    err = jnp.sum(mism, dtype=jnp.float32) / jnp.maximum(
-        jnp.sum(present, dtype=jnp.float32), 1.0
-    )
-
-    codes = jnp.arange(N_TRIMERS, dtype=pileup.dtype)
-    counts = jnp.sum(
-        pileup[:, :, :, None] == codes[None, None, None, :], axis=1, dtype=jnp.int32
-    )  # [C, Pp, 125] — local to each position shard
-
-    # sims/diffs contract the sharded SNP axis -> XLA inserts the all-reduce
-    sim = 3.0 * jnp.einsum("crs,cqs->crq", A, A) + jnp.einsum("crs,cqs->crq", R, R)
-    diff = jnp.einsum("crs,cqs->crq", A, R) + jnp.einsum("crs,cqs->crq", R, A)
-    eye = jnp.eye(A.shape[1], dtype=jnp.float32)[None]
-    sim = sim * (1 - eye)
-    diff = diff * (1 - eye)
-
-    # read graph + a fixed number of label-propagation sweeps
-    dist = 1.0 - jnp.maximum(0.0, diff - 1.0) / jnp.maximum(sim + diff, 1.0)
-    adj = (dist > 1.0 - 2.0 * err) & (sim + diff >= 5.0)
-    edge = adj.astype(jnp.float32) * mask[:, None, :] * mask[:, :, None]
-
-    Rr = A.shape[1]
-    labels = jnp.where(mask, init_labels, -2)
-
-    def sweep(labels, parity):
-        onehot = jax.nn.one_hot(jnp.where(labels >= 0, labels, 0), Rr, dtype=jnp.float32)
-        onehot = onehot * (labels >= 0)[:, :, None]
-        scores = jnp.einsum("crq,cqk->crk", edge, onehot)
-        best = jnp.argmax(scores, axis=-1).astype(labels.dtype)
-        best_val = jnp.max(scores, axis=-1)
-        upd = mask & (best_val > 0) & ((jnp.arange(Rr)[None, :] % 2) == parity)
-        return jnp.where(upd, best, labels), None
-
-    labels, _ = jax.lax.scan(
-        lambda l, p: sweep(l, p), labels, jnp.arange(16, dtype=jnp.int32) % 2
-    )
-    return err, counts, labels
-
-
-def make_phase_example(C=4, Rr=64, Pp=512, S=64, seed=0):
+def make_phase_example(C=4, Rr=64, Pp=512, S=64, K=8, seed=0):
+    """A nontrivial two-haplotype example: reads split into two groups whose
+    allele indicators disagree at the S SNP columns (with noise), so the
+    production knee-rule graph and CW actually separate them."""
     rng = np.random.default_rng(seed)
-    pileup = rng.integers(0, N_TRIMERS, (C, Rr, Pp)).astype(np.int8)
-    pileup[rng.random((C, Rr, Pp)) < 0.3] = TRIMER_ABSENT
+    group = (np.arange(Rr) % 2).astype(np.int8)  # alternating haplotypes
+    # pileup: central base differs from the contig where a read carries the
+    # alt; ~20% of cells uncovered
     contig_codes = rng.integers(0, 4, (C, Pp)).astype(np.int8)
-    A = (rng.random((C, Rr, S)) < 0.2).astype(np.float32)
-    R = ((rng.random((C, Rr, S)) < 0.5) & (A == 0)).astype(np.float32)
-    init = np.tile(np.arange(Rr, dtype=np.int32), (C, 1))
+    pileup = np.broadcast_to(contig_codes[:, None, :] * 25, (C, Rr, Pp)).astype(np.int8).copy()
+    err_cells = rng.random((C, Rr, Pp)) < 0.03
+    pileup[err_cells] = rng.integers(0, N_TRIMERS, int(err_cells.sum())).astype(np.int8)
+    pileup[rng.random((C, Rr, Pp)) < 0.2] = TRIMER_ABSENT
+    # allele indicators at SNPs: group 1 carries the second allele, with 5%
+    # noise; both groups always covered at ~85% of SNPs
+    covered = rng.random((C, Rr, S)) < 0.85
+    carries_alt = (group[None, :, None] == 1) ^ (rng.random((C, Rr, S)) < 0.05)
+    A = (covered & carries_alt).astype(np.float32)
+    R = (covered & ~carries_alt).astype(np.float32)
+    # seeds: per (contig, seed-SNP) the reference labels each read with the
+    # first read sharing its allele (`src/separate_reads.cpp:1674-1693`)
+    inits = np.zeros((C, K, Rr), dtype=np.int32)
+    for c in range(C):
+        for k in range(K):
+            col = rng.integers(0, S)
+            alt = A[c, :, col] > 0
+            first_alt = int(np.argmax(alt)) if alt.any() else 0
+            first_ref = int(np.argmax(~alt)) if (~alt).any() else 0
+            inits[c, k] = np.where(alt, first_alt, first_ref)
     mask = np.ones((C, Rr), dtype=bool)
-    return pileup, contig_codes, A, R, init, mask
+    return pileup, contig_codes, A, R, mask, inits
 
 
 def phase_shard_step(mesh: Mesh, example=None):
-    """jit the phase core over the mesh with real shardings; returns
-    (compiled fn, device-placed example args)."""
+    """jit the production phase step over the mesh with real shardings;
+    returns (compiled fn, device-placed example args)."""
     if example is None:
         example = make_phase_example()
-    pileup, contig_codes, A, R, init, mask = example
     s_pileup = NamedSharding(mesh, P("ctg", None, "pos"))
     s_contig = NamedSharding(mesh, P("ctg", "pos"))
     s_AR = NamedSharding(mesh, P("ctg", None, "pos"))  # SNP axis over 'pos'
     s_rows = NamedSharding(mesh, P("ctg", None))
-    args = (
-        jax.device_put(pileup, s_pileup),
-        jax.device_put(contig_codes, s_contig),
-        jax.device_put(A, s_AR),
-        jax.device_put(R, s_AR),
-        jax.device_put(init, s_rows),
-        jax.device_put(mask, s_rows),
-    )
+    s_inits = NamedSharding(mesh, P("ctg", None, None))
+    shardings = (s_pileup, s_contig, s_AR, s_AR, s_rows, s_inits)
+    args = tuple(jax.device_put(a, s) for a, s in zip(example, shardings))
     fn = jax.jit(
-        phase_core,
-        in_shardings=(s_pileup, s_contig, s_AR, s_AR, s_rows, s_rows),
+        phase_contigs_batch,
+        in_shardings=shardings,
         out_shardings=(
             NamedSharding(mesh, P()),
-            NamedSharding(mesh, P("ctg", "pos", None)),
-            NamedSharding(mesh, P("ctg", None)),
+            NamedSharding(mesh, P("ctg", None, None)),
+            NamedSharding(mesh, P("ctg", None, None)),
         ),
     )
     return fn, args

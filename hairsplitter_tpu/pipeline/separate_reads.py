@@ -52,9 +52,18 @@ class SeparateConfig:
     rarest_strain_abundance: float = 0.05
     seed_snp_spacing: int = 10
     use_device_matmul: bool = True
-    # run all per-SNP-seeded CW propagations of a window as one vmapped
-    # device call (the TPU serving path; host CW is faster for tiny windows)
-    use_device_cw: bool = False
+    # run the whole per-window device step (knee-rule read graph + all
+    # per-SNP-seeded CW propagations, `ops.phase.phase_window_core` — the
+    # same code the multi-chip mesh shards) as one device call. None = auto:
+    # on on accelerators, off on the CPU backend where host CW wins.
+    use_device_cw: bool | None = None
+
+    def device_cw_resolved(self) -> bool:
+        if self.use_device_cw is not None:
+            return self.use_device_cw
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
 
     @property
     def max_coverage(self) -> int:
@@ -446,8 +455,6 @@ def separate_reads_for_contig(
         last_set[last_col.rows] = True
         mask &= last_set
 
-        adj = build_read_graph(mask, sim, diff, cv.error_rate)
-
         seeds = []
         lastpos = -10 - cfg.seed_snp_spacing
         for s in in_win:
@@ -456,20 +463,29 @@ def separate_reads_for_contig(
                 continue
             lastpos = col.pos
             seeds.append(_seed_from_column(col, mask, n_rows))
-        if cfg.use_device_cw and seeds:
-            from ..ops.cluster import chinese_whispers_multi
+        if cfg.device_cw_resolved() and seeds:
+            # the production device window step — read graph + all seeded CW
+            # runs in one call; this is the exact function the multi-chip
+            # mesh shards (ops/phase.py, parallel/mesh.py)
+            from ..ops.phase import phase_window_jit
 
             inits = np.stack(seeds).astype(np.int32)
             # static-shape buckets on nodes and seeds: padded nodes have no
             # edges and mask False (labels stay -2), padded seeds are sliced
-            nb = pow2_bucket(adj.shape[0])
+            nb = pow2_bucket(n_rows)
             kb = pow2_bucket(inits.shape[0], minimum=8)
-            adj_p = pad_axis(pad_axis(adj.astype(np.float32), 0, nb, 0.0), 1, nb, 0.0)
+            sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
+            diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)
             mask_p = pad_axis(mask, 0, nb, False)
             inits_p = pad_axis(pad_axis(inits, 1, nb, -2), 0, kb, -2)
-            labs = np.asarray(chinese_whispers_multi(adj_p, inits_p, mask_p))
+            adj_d, labs = phase_window_jit(
+                sim_p, diff_p, mask_p, inits_p, np.float32(cv.error_rate)
+            )
+            adj = np.asarray(adj_d)[:n_rows, :n_rows]
+            labs = np.asarray(labs)
             local = [labs[k, :n_rows].astype(np.int64) for k in range(len(seeds))]
         else:
+            adj = build_read_graph(mask, sim, diff, cv.error_rate)
             local = [run_cw(adj, init, mask) for init in seeds]
 
         merged = merge_clusterings(local, adj, mask)
