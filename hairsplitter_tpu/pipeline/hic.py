@@ -97,8 +97,10 @@ def untangle_with_interactions(
             # pseudo read-paths: enough copies to clear the duplication
             # support threshold of the long-read untangler
             for _ in range(5):
+                # _neighbors returns the left orientation pointing AWAY from
+                # `name`; the pseudo path reads ln TOWARD it, so flip
                 pseudo_paths[next_rid] = [
-                    (ln, 1 if lo == "+" else 0),
+                    (ln, 0 if lo == "+" else 1),
                     (name, 1),
                     (rn, 1 if ro == "+" else 0),
                 ]

@@ -110,113 +110,196 @@ def _neighbors(g: AssemblyGraph, name: str, side: str) -> list[tuple[str, str]]:
     return sorted(set(out))
 
 
+DUMMY = "__dummy__"  # canceled path slot (reference `Path.cancel`, simple_unzip.py:56-66)
+
+
+def _walk_to_dilemma(g: AssemblyGraph, name: str, side: str):
+    """Follow the linear chain leaving `name` through `side` to the nearest
+    true branching point (the reference's left/right "dilemma",
+    `simple_unzip.py:564-612`). Returns (dilemma_name, dilemma_side) or None
+    for a dead end / circle (the reference skips the segment then)."""
+    nbrs = _neighbors(g, name, side)
+    if len(nbrs) > 1:
+        return name, side
+    if len(nbrs) != 1:
+        return None
+    cur, into = nbrs[0]  # we enter `cur` against orientation `into`
+    far = into  # leaving end of cur: same sign as the traversal orientation
+    while True:
+        out = _neighbors(g, cur, far)
+        if len(out) == 1:
+            nxt, nxt_o = out[0]
+            back = _neighbors(g, nxt, _flip(nxt_o))
+            if len(back) == 1 and cur != name:
+                cur, far = nxt, nxt_o
+                continue
+            if len(back) == 1 and cur == name:  # circled back
+                return None
+        break
+    if len(_neighbors(g, cur, far)) <= 1:
+        return None  # dead end or circle
+    return cur, far
+
+
+def _paths_beyond(
+    read_paths: dict[int, list[tuple[str, int]]],
+    occurrences: list[tuple[int, int]],  # (path idx, position) of the dilemma contig
+    dil_side: str,
+    right_side: bool,
+) -> dict[int, tuple[str, str]]:
+    """For each path through the dilemma contig, the neighbor just beyond its
+    outward end (`simple_unzip.py:628-668`), in Link-ready orientation: a
+    left neighbor's LEAVING orient (`Link(nb, o, dil, +)`), a right
+    neighbor's ENTERING orient (`Link(dil, +, nb, o)`)."""
+    out: dict[int, tuple[str, str]] = {}
+    for ridx, i in occurrences:
+        path = read_paths[ridx]
+        n, s = path[i]
+        outward_first = (s == 1 and dil_side == "-") or (s == 0 and dil_side == "+")
+        if outward_first:  # the outward end comes earlier in path order
+            if i == 0 or path[i - 1][0] == DUMMY:
+                continue
+            nb, nbo = path[i - 1]
+            out[ridx] = (nb, "+-"[nbo == (1 if right_side else 0)])
+        else:
+            if i + 1 >= len(path) or path[i + 1][0] == DUMMY:
+                continue
+            nb, nbo = path[i + 1]
+            out[ridx] = (nb, "+-"[nbo == (0 if right_side else 1)])
+    return out
+
+
 def duplicate_contigs(
     g: AssemblyGraph,
     read_paths: dict[int, list[tuple[str, int]]],
     min_support: int = 2,
-    max_rounds: int = 20,
+    max_rounds: int = 100,
 ) -> dict[str, str]:
-    """Iteratively duplicate branching contigs per supported neighbor pair.
-
-    Returns copy -> original mapping. Paths are rewritten onto the copies."""
+    """Duplicate branching contigs per supported (left, right) neighbor pair,
+    deciding at the nearest left/right DILEMMA nodes (the reference follows
+    straight lines before counting, `simple_unzip.py:532-812`), iterated to
+    fixpoint. Unmatched traversals are canceled (`Path.cancel`). Returns
+    copy -> original-root mapping; paths are rewritten onto the copies."""
     copy_of: dict[str, str] = {}
+    n_copies: dict[str, int] = {}
     for _ in range(max_rounds):
         changed = False
         for name in list(g.segments.keys()):
-            left = _neighbors(g, name, "-")  # entering the 5' end
-            right = _neighbors(g, name, "+")
-            if len(left) < 2 and len(right) < 2:
+            if name not in g.segments:
                 continue
-            # count (left, right) pair support from paths traversing name
-            pair_count: dict[tuple, int] = {}
-            traversals: list[tuple[int, int, tuple | None]] = []
+            left_n = _neighbors(g, name, "-")
+            right_n = _neighbors(g, name, "+")
+            if len(left_n) < 2 and len(right_n) < 2:
+                continue
+            left_dil = _walk_to_dilemma(g, name, "-") if len(left_n) <= 1 else (name, "-")
+            if left_dil is None:
+                continue
+            right_dil = _walk_to_dilemma(g, name, "+") if len(right_n) <= 1 else (name, "+")
+            if right_dil is None:
+                continue
+
+            # occurrences of the dilemma contigs (and of `name`) on the paths
+            occ: dict[str, list[tuple[int, int]]] = {left_dil[0]: [], right_dil[0]: [], name: []}
             for ridx, path in read_paths.items():
-                for i, (n, s) in enumerate(path):
-                    if n != name:
-                        continue
-                    # orient path so the contig reads '+'
-                    prev_e = path[i - 1] if i > 0 else None
-                    next_e = path[i + 1] if i + 1 < len(path) else None
-                    if s == 0:
-                        prev_e, next_e = next_e, prev_e
-                        flip = lambda e: (e[0], 1 - e[1]) if e else None
-                        prev_e, next_e = flip(prev_e), flip(next_e)
-                    lkey = (prev_e[0], "+-"[prev_e[1] == 0]) if prev_e else None
-                    rkey = (next_e[0], "+-"[next_e[1] == 0]) if next_e else None
-                    if lkey is None and rkey is None:
-                        continue
-                    pk = (lkey, rkey)
-                    pair_count[pk] = pair_count.get(pk, 0) + 1
-                    traversals.append((ridx, i, pk))
-            # full pairs only decide duplication
-            full = {
-                (l, r): c
-                for (l, r), c in pair_count.items()
-                if l is not None and r is not None
-            }
-            if len(full) < 2:
-                continue
-            kept = {p: c for p, c in full.items() if c >= min_support}
-            if len(kept) < 2:
-                continue
-            # does the duplication separate anything? (distinct lefts/rights)
-            lefts = {p[0] for p in kept}
-            rights = {p[1] for p in kept}
-            if len(lefts) < 2 and len(rights) < 2:
-                continue
-            # keep-strongest rule: drop pairs that confirm no new link unless
-            # strong (support >= 3*smallest + 5, simple_unzip.py:721-738)
-            smallest = min(kept.values())
+                for i, (n, _s) in enumerate(path):
+                    if n in occ:
+                        occ[n].append((ridx, i))
+            through_left = _paths_beyond(read_paths, occ[left_dil[0]], left_dil[1], False)
+            through_right = _paths_beyond(read_paths, occ[right_dil[0]], right_dil[1], True)
+            seg_index = {ridx: i for ridx, i in occ[name]}
+
+            pairs: dict[tuple, int] = {}
+            pair_paths: dict[tuple, list[int]] = {}
+            for ridx, lkey in through_left.items():
+                rkey = through_right.get(ridx)
+                if rkey is None or ridx not in seg_index:
+                    continue
+                pk = (lkey, rkey)
+                pairs[pk] = pairs.get(pk, 0) + 1
+                pair_paths.setdefault(pk, []).append(ridx)
+
+            n_left = len(_neighbors(g, left_dil[0], left_dil[1]))
+            n_right = len(_neighbors(g, right_dil[0], right_dil[1]))
+            # the strong-pair bar uses the smallest pair only when every
+            # (left, right) combination is observed (`simple_unzip.py:700-702`)
+            smallest = min(pairs.values()) if (pairs and len(pairs) == n_left * n_right) else 0
             confirmed_left: set = set()
             confirmed_right: set = set()
-            final_pairs = []
-            for p, c in sorted(kept.items(), key=lambda t: -t[1]):
-                newness = p[0] not in confirmed_left or p[1] not in confirmed_right
-                if newness or c >= 3 * smallest + 5:
-                    final_pairs.append((p, c))
-                    confirmed_left.add(p[0])
-                    confirmed_right.add(p[1])
-            if len(final_pairs) < 2:
+            final_pairs: list[tuple[tuple, int]] = []
+            for pk, c in sorted(pairs.items(), key=lambda t: -t[1]):
+                if c < min_support:
+                    continue
+                if (
+                    pk[0] not in confirmed_left
+                    or pk[1] not in confirmed_right
+                    or c >= 3 * smallest + 5
+                ):
+                    confirmed_left.add(pk[0])
+                    confirmed_right.add(pk[1])
+                    final_pairs.append((pk, c))
+
+            # duplicate only if every dilemma link is read-confirmed (or the
+            # dilemma is remote and its side dominates), and the duplication
+            # does not multiply the local side (`simple_unzip.py:735-739`)
+            left_ok = len(confirmed_left) == n_left or (
+                left_dil[0] != name and len(confirmed_left) >= len(confirmed_right)
+            )
+            right_ok = len(confirmed_right) == n_right or (
+                right_dil[0] != name and len(confirmed_right) >= len(confirmed_left)
+            )
+            local_ok = (left_dil[0] == name and len(final_pairs) <= n_left) or (
+                right_dil[0] == name and len(final_pairs) <= n_right
+            )
+            if not (left_ok and right_ok and local_ok and len(final_pairs) >= 1 and pairs):
                 continue
-            # duplicate
-            total = sum(c for _, c in final_pairs)
+            if len(final_pairs) == 1 and len(left_n) <= 1 and len(right_n) <= 1:
+                continue  # nothing to separate
+
+            total = sum(pairs.values())
             depth = g.depths.get(name, 0.0)
             seq = g.segments[name]
-            pair_to_copy: dict[tuple, str] = {}
-            for k, (p, c) in enumerate(final_pairs):
-                cname = f"{name}-copy{k}" if k > 0 else name
-                if k > 0:
-                    g.add_segment(cname, seq, depth * c / total)
-                    copy_of[cname] = copy_of.get(name, name)
-                else:
-                    g.depths[name] = depth * c / total
-                pair_to_copy[p] = cname
-            # rewire links: remove old flank links, add per-pair links
+            root = copy_of.get(name, name)
+            # immediate flank links of `name` (used when a dilemma is remote:
+            # every copy keeps the single chain link on that side).
+            # _neighbors returns away-from-name orientation on the left side;
+            # Link-ready leaving orientation is its flip
+            single_left = (left_n[0][0], _flip(left_n[0][1])) if len(left_n) == 1 else None
+            single_right = right_n[0] if len(right_n) == 1 else None
+            new_entries = []
+            for pk, c in final_pairs:
+                n_copies[root] = n_copies.get(root, 0) + 1
+                cname = f"{root}-copy{n_copies[root]}"
+                g.add_segment(cname, seq, depth * c / total)
+                copy_of[cname] = root
+                lk = pk[0] if left_dil[0] == name else single_left
+                rk = pk[1] if right_dil[0] == name else single_right
+                if lk is not None:
+                    g.add_link(Link(lk[0], lk[1], cname, "+"))
+                if rk is not None:
+                    g.add_link(Link(cname, "+", rk[0], rk[1]))
+                new_entries.append((pk, cname))
+            # rewrite matched paths onto their copy, cancel the rest
+            rewritten: set[tuple[int, int]] = set()
+            for pk, cname in new_entries:
+                for ridx in pair_paths.get(pk, []):
+                    i = seg_index[ridx]
+                    _n, s = read_paths[ridx][i]
+                    read_paths[ridx][i] = (cname, s)
+                    rewritten.add((ridx, i))
+            for ridx, i in occ[name]:
+                if (ridx, i) not in rewritten and read_paths[ridx][i][0] == name:
+                    read_paths[ridx][i] = (DUMMY, 1)
+            # delete the original
             g.links = [l for l in g.links if l.name1 != name and l.name2 != name]
-            for (lkey, rkey), cname in pair_to_copy.items():
-                if lkey is not None:
-                    g.add_link(Link(lkey[0], lkey[1], cname, "+"))
-                if rkey is not None:
-                    g.add_link(Link(cname, "+", rkey[0], rkey[1]))
+            g.remove_segment(name)
             g.dedupe_links()
-            # rewrite paths onto the copies
-            for ridx, i, pk in traversals:
-                target = pair_to_copy.get(pk)
-                if target is None:
-                    # half traversals follow whichever copy matches their known side
-                    cands = [
-                        cname
-                        for (l, r), cname in pair_to_copy.items()
-                        if (pk[0] is None or pk[0] == l) and (pk[1] is None or pk[1] == r)
-                    ]
-                    target = cands[0] if len(cands) == 1 else None
-                if target is not None and target != name:
-                    path = read_paths[ridx]
-                    n, s = path[i]
-                    path[i] = (target, s)
             changed = True
         if not changed:
             break
+    # canceled slots must not leak into supercontig composition or repolish
+    for ridx in list(read_paths.keys()):
+        path = [e for e in read_paths[ridx] if e[0] != DUMMY]
+        read_paths[ridx] = path
     return copy_of
 
 

@@ -110,3 +110,23 @@ def test_myers_pallas_interpret_matches_numpy():
     got = banded_align_batch_myers(q, qlens, t, tlens, spec, interpret=True)
     for k in ("bp", "row_at_q", "colmin_val", "colmin_i"):
         np.testing.assert_array_equal(got[k], ref[k])
+
+
+def test_device_traceback_matches_host():
+    from hairsplitter_tpu.ops.align_device import align_traceback_device
+
+    spec = BandSpec(chunk=64, band=64)
+    rng = np.random.default_rng(11)
+    q, qlens, t, tlens = _random_batch(rng, 48, spec)
+    modes = (np.arange(48) % 2).astype(np.int32)
+    ref = {k: np.asarray(v) for k, v in banded_align_batch(q, qlens, t, tlens, spec).items()}
+    cost_r, si_r, sb_r, clip_r = readout(ref, qlens, tlens, modes, spec)
+    ops_r = traceback_batch(ref["bp"], q, t, si_r, sb_r, spec)
+
+    ops_rev, meta = align_traceback_device(q, qlens, t, tlens, modes, spec, use_pallas=False)
+    ops_rev, meta = np.asarray(ops_rev), np.asarray(meta)
+    np.testing.assert_array_equal(meta[:, 1], cost_r)
+    np.testing.assert_array_equal(meta[:, 2], clip_r)
+    for i in range(48):
+        got = ops_rev[i, : meta[i, 0]][::-1]
+        np.testing.assert_array_equal(got, ops_r[i])

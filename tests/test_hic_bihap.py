@@ -26,11 +26,14 @@ def test_hic_untangle_diamond():
     im = interaction_matrix_from_pairs(list(g.segments), pairs)
     resolved = untangle_with_interactions(g, im)
     assert resolved == 1
-    assert "S-copy1" in g.segments  # S duplicated per matched pair
+    # S duplicated per matched pair (the original is deleted, like the
+    # reference's simple_unzip duplication)
+    assert "S" not in g.segments
+    assert {"S-copy1", "S-copy2"} <= set(g.segments)
     keys = {(l.name1, l.name2) for l in g.links}
     # each copy carries one (left, right) pairing consistent with Hi-C
     paths = set()
-    for s_name in ("S", "S-copy1"):
+    for s_name in ("S-copy1", "S-copy2"):
         lefts = [a for a, b in keys if b == s_name]
         rights = [b for a, b in keys if a == s_name]
         assert len(lefts) == 1 and len(rights) == 1

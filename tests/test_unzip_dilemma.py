@@ -1,0 +1,145 @@
+"""Dilemma-following untangler parity (reference simple_unzip.py:532-812).
+
+The key behavior round 1 lacked: a multi-contig repeat cassette BETWEEN
+junctions is resolved by walking straight lines to the nearest branching
+('dilemma') nodes before counting (left, right) pair support."""
+
+import numpy as np
+
+from hairsplitter_tpu.io.gfa import AssemblyGraph, Link
+from hairsplitter_tpu.pipeline.unzip import DUMMY, duplicate_contigs, unzip
+
+
+def _mkgraph(segs, links, depth=20.0):
+    g = AssemblyGraph()
+    for n, s in segs.items():
+        g.add_segment(n, s, depth)
+    for l in links:
+        g.add_link(Link(*l))
+    return g
+
+
+def test_two_contig_repeat_cassette_resolved():
+    # A1/A2 -> R1 -> R2 -> B1/B2; reads pair A1..B1 and A2..B2 through the
+    # 2-contig repeat chain. Immediate-neighbor counting cannot decide R1
+    # (its right side is the single link to R2); the dilemma walk reaches B*.
+    segs = {n: "ACGT" * 50 for n in ("A1", "A2", "B1", "B2")}
+    segs["R1"] = "TTGC" * 60
+    segs["R2"] = "GGAT" * 60
+    links = [
+        ("A1", "+", "R1", "+"),
+        ("A2", "+", "R1", "+"),
+        ("R1", "+", "R2", "+"),
+        ("R2", "+", "B1", "+"),
+        ("R2", "+", "B2", "+"),
+    ]
+    g = _mkgraph(segs, links)
+    paths = {}
+    k = 0
+    for _ in range(3):
+        paths[k] = [("A1", 1), ("R1", 1), ("R2", 1), ("B1", 1)]
+        k += 1
+        paths[k] = [("A2", 1), ("R1", 1), ("R2", 1), ("B2", 1)]
+        k += 1
+    res = unzip(g, paths)
+    finals = res.supercontigs
+    # two fully-resolved haplotype chains
+    assert len(finals) == 2
+    comps = sorted(
+        tuple(n.split("-copy")[0] for n, _o in comp) for comp in finals.values()
+    )
+    assert comps == [("A1", "R1", "R2", "B1"), ("A2", "R1", "R2", "B2")]
+    # sequence-level: each supercontig is the concatenation of its haplotype
+    joined = sorted(res.graph.segments.values())
+    expect = sorted(
+        [
+            segs["A1"] + segs["R1"] + segs["R2"] + segs["B1"],
+            segs["A2"] + segs["R1"] + segs["R2"] + segs["B2"],
+        ]
+    )
+    assert joined == expect
+
+
+def test_repeat_resolved_with_reverse_reads():
+    # same cassette, but half the reads traverse in reverse orientation
+    segs = {n: "ACGT" * 50 for n in ("A1", "A2", "B1", "B2")}
+    segs["R1"] = "TTGC" * 60
+    links = [
+        ("A1", "+", "R1", "+"),
+        ("A2", "+", "R1", "+"),
+        ("R1", "+", "B1", "+"),
+        ("R1", "+", "B2", "+"),
+    ]
+    g = _mkgraph(segs, links)
+    paths = {}
+    k = 0
+    for _ in range(2):
+        paths[k] = [("A1", 1), ("R1", 1), ("B1", 1)]
+        k += 1
+        paths[k] = [("B1", 0), ("R1", 0), ("A1", 0)]  # reverse traversal
+        k += 1
+        paths[k] = [("A2", 1), ("R1", 1), ("B2", 1)]
+        k += 1
+        paths[k] = [("B2", 0), ("R1", 0), ("A2", 0)]
+        k += 1
+    res = unzip(g, paths)
+    comps = sorted(
+        tuple(sorted(n.split("-copy")[0] for n, _o in comp))
+        for comp in res.supercontigs.values()
+    )
+    assert comps == [("A1", "B1", "R1"), ("A2", "B2", "R1")]
+
+
+def test_unmatched_paths_are_canceled():
+    # a read pairing A1 with B2 only once (below min support) must not
+    # survive duplication: its traversal of X is canceled (Path.cancel)
+    segs = {n: "ACGT" * 50 for n in ("A1", "A2", "B1", "B2")}
+    segs["X"] = "TTGC" * 60
+    links = [
+        ("A1", "+", "X", "+"),
+        ("A2", "+", "X", "+"),
+        ("X", "+", "B1", "+"),
+        ("X", "+", "B2", "+"),
+    ]
+    g = _mkgraph(segs, links)
+    paths = {}
+    k = 0
+    for _ in range(4):
+        paths[k] = [("A1", 1), ("X", 1), ("B1", 1)]
+        k += 1
+        paths[k] = [("A2", 1), ("X", 1), ("B2", 1)]
+        k += 1
+    stray = k
+    paths[stray] = [("A1", 1), ("X", 1), ("B2", 1)]  # support 1 < 2
+    copy_of = duplicate_contigs(g, paths)
+    assert len(copy_of) == 2
+    # the stray path lost its X traversal (canceled slots are stripped)
+    assert all(n != DUMMY for n, _o in paths[stray])
+    assert not any(n.startswith("X") for n, _o in paths[stray])
+    # depths split proportionally to pair support over ALL pairs (9 total)
+    depths = sorted(g.depths[c] for c in copy_of)
+    assert np.allclose(depths, [20.0 * 4 / 9, 20.0 * 4 / 9])
+
+
+def test_no_duplication_when_links_unconfirmed():
+    # one X->B2 link never read-supported: not all links confirmed -> the
+    # reference refuses to duplicate (all(links_to_confirm) gate)
+    segs = {n: "ACGT" * 50 for n in ("A1", "A2", "B1", "B2")}
+    segs["X"] = "TTGC" * 60
+    links = [
+        ("A1", "+", "X", "+"),
+        ("A2", "+", "X", "+"),
+        ("X", "+", "B1", "+"),
+        ("X", "+", "B2", "+"),
+    ]
+    g = _mkgraph(segs, links)
+    paths = {}
+    for k in range(4):
+        paths[k] = [("A1", 1), ("X", 1), ("B1", 1)] if k % 2 == 0 else [
+            ("A2", 1),
+            ("X", 1),
+            ("B1", 1),
+        ]
+    copy_of = duplicate_contigs(g, paths)
+    assert copy_of == {}
+    assert "X" in g.segments
