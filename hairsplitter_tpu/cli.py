@@ -66,9 +66,16 @@ def parse_args(argv=None):
         "-q", "--min-read-quality", type=float, default=0,
         help="filter out reads with average quality below this (fastq only)",
     )
-    p.add_argument("-l", "--low-memory", action="store_true")
+    p.add_argument(
+        "-l", "--low-memory", action="store_true",
+        help="stream reads in batches; bounded resident sequence cache "
+        "(auto-on above 1000x coverage, like the reference)",
+    )
     p.add_argument("--no_clean", action="store_true", help="keep temporary files")
-    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument(
+        "-d", "--debug", action="store_true",
+        help="keep all tmp/ artifacts (implies --no_clean) for debugging",
+    )
     p.add_argument("-v", "--version", action="version", version=__version__)
     return p.parse_args(argv)
 
@@ -98,6 +105,8 @@ def main(argv=None):
         resume=args.resume,
         no_clean=args.no_clean,
         min_read_quality=args.min_read_quality,
+        low_memory=args.low_memory,
+        debug=args.debug,
         threads=args.threads,
     )
     run_pipeline(args.assembly, args.fastq, args.output, cfg)

@@ -166,3 +166,46 @@ class ReadStore:
 
     def total_bases(self) -> int:
         return int(self.lengths.sum())
+
+
+class LazyReadSeqs:
+    """Dict-like view over a ReadStore with a bounded LRU of decoded
+    sequences — the low-memory (-l) read access path. The reference keeps
+    only one contig's reads resident (`src/input_output.cpp:546-569`,
+    loaded inside an omp critical and freed after,
+    `src/call_variants.cpp:1295-1365`); the LRU gives the same flat-memory
+    property without per-stage load/free choreography."""
+
+    def __init__(self, store: "ReadStore", cache_size: int = 2048):
+        from collections import OrderedDict
+
+        self._store = store
+        self._cap = cache_size
+        self._lru: "OrderedDict[int, str]" = OrderedDict()
+
+    def __getitem__(self, idx: int) -> str:
+        lru = self._lru
+        if idx in lru:
+            lru.move_to_end(idx)
+            return lru[idx]
+        seq = self._store.get_seq(idx)
+        self._store.free([idx])
+        lru[idx] = seq
+        if len(lru) > self._cap:
+            lru.popitem(last=False)
+        return seq
+
+    def get(self, idx: int, default=None):
+        try:
+            return self[idx]
+        except (KeyError, IndexError):
+            return default
+
+    def __contains__(self, idx) -> bool:
+        return 0 <= idx < len(self._store)
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    def __iter__(self):
+        return iter(range(len(self._store)))

@@ -154,3 +154,65 @@ def cut_assembly(g: AssemblyGraph, max_len: int = 300_000) -> AssemblyGraph:
         c2 = f"{l.name2}@0" if l.orient2 == "+" else f"{l.name2}@{n_chunks[l.name2]-1}"
         out.add_link(Link(c1, l.orient1, c2, l.orient2, l.cigar))
     return out
+
+
+def _overlap_len(cigar: str) -> int:
+    """Target-consuming length of a GFA overlap CIGAR (M/D/=/X)."""
+    if cigar in ("*", "0M", ""):
+        return 0
+    n, total = "", 0
+    for c in cigar:
+        if c.isdigit():
+            n += c
+        else:
+            if c in "MD=X" and n:
+                total += int(n)
+            n = ""
+    return total
+
+
+def bluntify_graph(g: AssemblyGraph, max_rounds: int = 10) -> int:
+    """Remove non-0M link overlaps by trimming contig ends, the greedy scheme
+    of the reference's `bluntify.py:16` `basic_overlap_removal` (invoked
+    before GenomeTailor, `scaffold.cpp:2121-2130`) and GraphUnzip's
+    `trim_overlaps` (`finish_untangling.py:272-346`): per contig,
+    trim_left = min(min left overlap, length - max right overlap) and
+    symmetrically, then shorten the sequence and every flank overlap.
+    Iterates while progress is made; returns total bases trimmed."""
+    total_trimmed = 0
+    for _ in range(max_rounds):
+        ov = {id(l): _overlap_len(l.cigar) for l in g.links}
+        if not any(ov.values()):
+            break
+        # per contig: link ids touching each end (end 1 = right/3')
+        ends: dict[str, tuple[list, list]] = {n: ([], []) for n in g.segments}
+        for l in g.links:
+            if l.name1 in ends:
+                ends[l.name1][1 if l.orient1 == "+" else 0].append(id(l))
+            if l.name2 in ends:
+                ends[l.name2][1 if l.orient2 == "-" else 0].append(id(l))
+        progress = 0
+        for name, (left_ids, right_ids) in ends.items():
+            L = len(g.segments[name])
+            min_l = min((ov[i] for i in left_ids), default=0)
+            max_l = max((ov[i] for i in left_ids), default=0)
+            min_r = min((ov[i] for i in right_ids), default=0)
+            max_r = max((ov[i] for i in right_ids), default=0)
+            trim_left = max(0, min(min_l, L - max_r))
+            trim_right = max(0, min(min_r, L - max_l))
+            if trim_left == 0 and trim_right == 0:
+                continue
+            g.segments[name] = g.segments[name][trim_left : L - trim_right]
+            for i in left_ids:
+                ov[i] -= trim_left
+            for i in right_ids:
+                ov[i] -= trim_right
+            progress += trim_left + trim_right
+        g.links = [
+            Link(l.name1, l.orient1, l.name2, l.orient2, f"{max(0, ov[id(l)])}M")
+            for l in g.links
+        ]
+        total_trimmed += progress
+        if progress == 0:
+            break
+    return total_trimmed

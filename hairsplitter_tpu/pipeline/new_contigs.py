@@ -288,12 +288,43 @@ def _terminal_names(cz: ContigZip | None, orient: str, is_first_endpoint: bool) 
     return [cz.names[(iv.start, g)] for g in gl if (iv.start, g) in cz.names]
 
 
-def write_gaf(path: str, read_paths: dict[int, list[tuple[str, int]]], read_names: dict[int, str]) -> None:
-    """Write read paths in GAF (first 6 fields, as the reference emits,
-    `doc/README.md` / `create_new_contigs.cpp:1128`)."""
+def write_gaf(
+    path: str,
+    read_paths: dict[int, list[tuple[str, int]]],
+    read_names: dict[int, str],
+    graph=None,
+    alignments=None,
+    read_lens=None,
+) -> None:
+    """Write read paths in GAF (`doc/README.md` / `create_new_contigs.cpp:
+    1128-1420`). With `graph` and the stage-2 `alignments`, real coordinate
+    fields are emitted: query length/span from the read's alignments, path
+    length from the traversed contigs, matches approximated from the
+    alignment NM counts."""
+    span: dict[int, tuple[int, int, int, int]] = {}
+    if alignments:
+        for a in alignments:
+            qlen = getattr(a, "q_len", 0) or 0
+            lo, hi, nm, alen = span.get(a.read_idx, (1 << 60, 0, 0, 0))
+            span[a.read_idx] = (
+                min(lo, a.q_start),
+                max(hi, a.q_end),
+                nm + a.nm,
+                alen + (a.q_end - a.q_start),
+            )
     with open(path, "w") as f:
         for ridx, p in sorted(read_paths.items()):
             if not p:
                 continue
             pstr = "".join((">" if o == 1 else "<") + nm for nm, o in p)
-            f.write(f"{read_names.get(ridx, f'read_{ridx}')}\t0\t0\t0\t+\t{pstr}\t0\t0\t0\t0\t0\t60\n")
+            plen = (
+                sum(len(graph.segments.get(nm, "")) for nm, _o in p) if graph is not None else 0
+            )
+            lo, hi, nm, alen = span.get(ridx, (0, 0, 0, 0))
+            qlen = int(read_lens.get(ridx, hi)) if read_lens else max(hi, 0)
+            lo = 0 if lo == 1 << 60 else lo
+            matches = max(0, alen - nm)
+            f.write(
+                f"{read_names.get(ridx, f'read_{ridx}')}\t{qlen}\t{lo}\t{hi}\t+\t"
+                f"{pstr}\t{plen}\t0\t{plen}\t{matches}\t{max(alen, 1)}\t60\n"
+            )

@@ -3,22 +3,34 @@
 Unlike the reference — six separate processes glued by files in a tmp dir —
 this is one in-process engine: mapping, variant calling, read separation,
 contig creation and untangling pass data structures directly, and the interop
-files (SAM-free COL/GRO/GAF, final GFA/FASTA, summary, log) are written for
-compatibility and debugging. Artifact-level resume mirrors the reference's
-`--resume` (stage output file exists -> stage skipped, `hairsplitter.py:368-390`).
+files (SAM, COL, GRO, GAF, final GFA/FASTA, summary, log) are written for
+compatibility and debugging.
+
+Stage-level resume mirrors the reference's `--resume` (`hairsplitter.py:
+368-390,456-826`): the logged run fingerprint must match, then every stage
+whose artifact exists is loaded instead of recomputed; the first missing
+artifact makes all later stages recompute.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
 from ..core.mapping import MapConfig, map_reads
-from ..io.fasta import ReadStore, read_fasta, write_fasta
-from ..io.gfa import cut_assembly, fasta_to_gfa, gfa_to_fasta, parse_gfa, write_gfa
+from ..io.fasta import LazyReadSeqs, ReadStore, read_fasta, write_fasta
+from ..io.gfa import (
+    bluntify_graph,
+    cut_assembly,
+    fasta_to_gfa,
+    gfa_to_fasta,
+    parse_gfa,
+    write_gfa,
+)
 from .call_variants import (
     ContigVariants,
     VariantCallConfig,
@@ -29,13 +41,17 @@ from .new_contigs import create_new_contigs, write_gaf
 from .separate_reads import ContigGroups, SeparateConfig, separate_reads_for_contig
 from .unzip import unzip
 
-TECH_PRESETS = {
-    # -x technology presets (reference `hairsplitter.py:27`, minimap2 presets
-    # + amplicon windowing `separate_reads.cpp:1494-1498`)
-    "ont": {},
-    "pacbio": {},
-    "hifi": {},
-    "amplicon": {"amplicon": True},
+# -x technology presets: the reference switches minimap2 presets per
+# technology (`hairsplitter.py:629`: map-ont / map-pb / map-hifi) and amplicon
+# windowing (`separate_reads.cpp:1494-1498`). Seeds mirror minimap2's
+# defaults: ont k15 w10, pacbio CLR k19 w10, hifi k19 w19 (low error needs no
+# dense rescue seeding; the variant caller's HiFi allele floor is already
+# error-driven, `call_variants.cpp:508`).
+TECH_PRESETS: dict[str, dict] = {
+    "ont": {"map": {"k": 15, "w": 10}},
+    "pacbio": {"map": {"k": 19, "w": 10}},
+    "hifi": {"map": {"k": 19, "w": 19, "rescue": False, "max_divergence": 0.15}},
+    "amplicon": {},
 }
 
 
@@ -53,10 +69,28 @@ class PipelineConfig:
     min_read_quality: float = 0.0  # reference -q (fastq only)
     resume: bool = False
     no_clean: bool = False  # keep tmp files (reference --no_clean)
+    # -l: stream reads in batches and keep only a bounded LRU of sequences
+    # resident (reference low-memory mode, `hairsplitter.py:42`,
+    # `separate_reads.cpp:538-693`); auto-enabled when estimated coverage
+    # exceeds 1000x like the reference
+    low_memory: bool = False
+    debug: bool = False  # -d: keep tmp files + extra artifacts
     threads: int = 1  # host threads over contigs (the reference's OpenMP axis)
     map: MapConfig = field(default_factory=MapConfig)
     variants: VariantCallConfig = field(default_factory=VariantCallConfig)
     separate: SeparateConfig = field(default_factory=SeparateConfig)
+
+    # mapping batch size (reads per map_reads call) in low-memory mode
+    low_memory_read_batch: int = 2000
+
+
+def apply_tech_preset(cfg: PipelineConfig) -> PipelineConfig:
+    preset = TECH_PRESETS.get(cfg.technology, {})
+    out = cfg
+    if preset.get("map"):
+        out = replace(out) if out is cfg else out
+        out.map = replace(out.map, **preset["map"])
+    return out
 
 
 class Logger:
@@ -71,15 +105,75 @@ class Logger:
             f.write(line + "\n")
 
 
+class StageStats:
+    """Per-stage wall time and throughput counters (SURVEY §5 tracing gap:
+    the reference has only ad-hoc timers; the driver and the log get real
+    alignments/s / reads-phased/s numbers)."""
+
+    def __init__(self, log: Logger, path: str):
+        self.log = log
+        self.path = path
+        self.stats: dict[str, dict] = {}
+
+    def record(self, stage: str, seconds: float, **counters) -> None:
+        entry = {"seconds": round(seconds, 3)}
+        for k, v in counters.items():
+            entry[k] = round(float(v), 3)
+            if seconds > 0:
+                entry[k + "_per_s"] = round(float(v) / seconds, 1)
+        self.stats[stage] = entry
+        rates = ", ".join(
+            f"{k}={entry[k + '_per_s']}/s" for k in counters if k + "_per_s" in entry
+        )
+        self.log.log(f"  [{stage}] {seconds:.1f}s {rates}")
+        with open(self.path, "w") as f:
+            json.dump(self.stats, f, indent=1)
+
+
+def _fingerprint(assembly_path: str, reads_path: str, cfg: PipelineConfig) -> str:
+    keys = (
+        os.path.abspath(assembly_path),
+        os.path.abspath(reads_path),
+        cfg.technology,
+        cfg.correct_assembly,
+        cfg.polisher,
+        cfg.polish_everything,
+        cfg.dont_simplify,
+        cfg.auto_frac,
+        cfg.haploid_coverage,
+        cfg.rarest_strain_abundance,
+        cfg.min_read_quality,
+        cfg.low_memory,
+    )
+    return "|".join(str(k) for k in keys)
+
+
 def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: PipelineConfig = PipelineConfig()):
     os.makedirs(out_dir, exist_ok=True)
     tmp_dir = os.path.join(out_dir, "tmp")
     os.makedirs(tmp_dir, exist_ok=True)
     log = Logger(os.path.join(out_dir, "hairsplitter.log"))
+    stats = StageStats(log, os.path.join(out_dir, "stage_stats.json"))
     final_gfa = os.path.join(out_dir, "hairsplitter_final_assembly.gfa")
     final_fasta = os.path.join(out_dir, "hairsplitter_final_assembly.fasta")
+    cfg = apply_tech_preset(cfg)
 
-    if cfg.resume and os.path.exists(final_gfa):
+    # resume is honored only when the run fingerprint matches the previous
+    # invocation (the reference compares the logged command line,
+    # `hairsplitter.py:368-390`)
+    fp_path = os.path.join(tmp_dir, "run_fingerprint.txt")
+    fp = _fingerprint(assembly_path, reads_path, cfg)
+    resume = cfg.resume
+    if resume and os.path.exists(fp_path):
+        if open(fp_path).read().strip() != fp:
+            log.log("resume: parameters changed since the previous run — recomputing all stages")
+            resume = False
+    elif resume:
+        resume = False
+    with open(fp_path, "w") as f:
+        f.write(fp + "\n")
+
+    if resume and os.path.exists(final_gfa):
         log.log("resume: final assembly already present, nothing to do")
         return final_gfa
 
@@ -101,6 +195,11 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             assembly.segments[name] = up
     if n_fixed:
         log.log(f"  sanitized {n_fixed} non-ACGT assembly bases to 'A'")
+    # user GFAs may carry overlapping links: blunt them before anything else
+    # (reference bluntify.py:16, invoked at scaffold.cpp:2121-2130)
+    trimmed = bluntify_graph(assembly)
+    if trimmed:
+        log.log(f"  bluntified {trimmed} bases of link overlaps")
     assembly = cut_assembly(assembly, cfg.max_contig_chunk)
     log.log(f"  {len(assembly.segments)} contigs after chunking at {cfg.max_contig_chunk}")
 
@@ -114,27 +213,63 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
 
     log.log(f"STAGE 2 loading + mapping reads {reads_path}")
     store = ReadStore(reads_path)
-    read_seqs = {i: store.get_seq(i) for i in range(len(store))}
+    total_read_bp = int(np.sum(store.lengths)) if store.lengths is not None else 0
+    asm_bp = sum(len(s) for s in assembly.segments.values())
+    est_coverage = total_read_bp / max(1, asm_bp)
+    low_memory = cfg.low_memory or est_coverage > 1000
+    if low_memory and not cfg.low_memory:
+        log.log(f"  estimated coverage {est_coverage:.0f}x > 1000: low-memory mode auto-on")
+    if low_memory:
+        read_seqs = LazyReadSeqs(store)
+    else:
+        read_seqs = {i: store.get_seq(i) for i in range(len(store))}
     amplicon = cfg.technology == "amplicon"
 
     if cfg.correct_assembly:
         from .tailor import correct_assembly
 
         log.log("STAGE 1b correcting the assembly (GenomeTailor-equivalent)")
+        t0 = time.time()
         assembly, rep = correct_assembly(assembly, read_seqs, cfg.map)
         log.log(
             f"  end-to-end reads {rep.end_to_end_before} -> {rep.end_to_end_after}; "
             f"{len(rep.cuts)} cuts, {len(rep.new_links)} new links"
         )
+        stats.record("correct_assembly", time.time() - t0)
         write_gfa(assembly, os.path.join(tmp_dir, "corrected_assembly.gfa"))
+
     sam_path = os.path.join(tmp_dir, "reads_on_asm.sam")
-    if cfg.resume and os.path.exists(sam_path):
+    if resume and os.path.exists(sam_path):
         from ..io.sam import parse_sam
 
         alns = parse_sam(sam_path, {store.names[i]: i for i in range(len(store))}, max_clip_frac=1.0)
         log.log(f"  resume: {len(alns)} alignments loaded from {sam_path}")
     else:
-        alns = map_reads(assembly.segments, [read_seqs[i] for i in range(len(store))], cfg.map)
+        resume = False
+        t0 = time.time()
+        if low_memory:
+            # stream reads in batches so only one batch is ever resident
+            from ..core.seeding import MinimizerIndex
+            from ..constants import encode_seq
+
+            index = MinimizerIndex.build(
+                {n: encode_seq(s) for n, s in assembly.segments.items()},
+                k=cfg.map.k,
+                w=cfg.map.w,
+                max_occ=cfg.map.max_occ,
+            )
+            alns = []
+            bs = cfg.low_memory_read_batch
+            for lo in range(0, len(store), bs):
+                idxs = list(range(lo, min(lo + bs, len(store))))
+                batch = [store.get_seq(i) for i in idxs]
+                store.free(idxs)
+                alns.extend(
+                    map_reads(assembly.segments, batch, cfg.map, read_indices=idxs, index=index)
+                )
+        else:
+            alns = map_reads(assembly.segments, [read_seqs[i] for i in range(len(store))], cfg.map)
+        stats.record("mapping", time.time() - t0, read_kbp=total_read_bp / 1e3)
         from ..io.sam import write_sam
 
         write_sam(
@@ -149,66 +284,113 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     per_contig_alns: dict[str, list] = {c: [] for c in assembly.segments}
     for a in alns:
         per_contig_alns[a.contig].append(a)
+    read_names = {i: store.names[i] for i in range(len(store))}
 
     # ---- stage 3: variant calling (two-pass for the pooled error rate) ------
-    log.log("STAGE 3 calling variants")
     vcfg = cfg.variants
     vcfg.auto_frac = cfg.auto_frac
-    preps = dict(
-        _contig_map(
-            cfg.threads,
-            assembly.segments.items(),
-            lambda item: (
-                item[0],
-                prepare_contig(item[0], item[1], per_contig_alns[item[0]], read_seqs, vcfg),
-            ),
-        )
-    )
-    total_mm = sum(p.mismatches for p in preps.values())
-    total_cells = sum(p.cells for p in preps.values())
-    error_rate = min(total_mm / max(1, total_cells), vcfg.error_cap)
-    with open(os.path.join(tmp_dir, "error_rate.txt"), "w") as f:
-        f.write(f"{error_rate}\n")
-    log.log(f"  pooled error rate {error_rate:.4f}")
+    col_path = os.path.join(tmp_dir, "variants.col")
+    err_path = os.path.join(tmp_dir, "error_rate.txt")
+    variants: dict[str, ContigVariants] | None = None
+    if resume and os.path.exists(col_path) and os.path.exists(err_path):
+        from ..io.col_gro import read_col
 
-    variants: dict[str, ContigVariants] = {}
-    n_snps = 0
-    for contig in assembly.segments:
-        variants[contig] = call_variants_from_prep(preps[contig], error_rate, vcfg)
-        n_snps += len(variants[contig].columns)
-    log.log(f"  {n_snps} robust variant positions")
-    _write_vcf(os.path.join(out_dir, "variants.vcf"), variants)
+        error_rate = float(open(err_path).read().strip())
+        variants = read_col(col_path)
+        for cv in variants.values():
+            cv.error_rate = error_rate
+        ok = set(variants) == set(assembly.segments)
+        if ok:
+            log.log(f"  resume: variants loaded from {col_path} (err {error_rate:.4f})")
+        else:
+            variants = None
+            resume = False
+    else:
+        resume = False
+    if variants is None:
+        log.log("STAGE 3 calling variants")
+        t0 = time.time()
+        preps = dict(
+            _contig_map(
+                cfg.threads,
+                assembly.segments.items(),
+                lambda item: (
+                    item[0],
+                    prepare_contig(item[0], item[1], per_contig_alns[item[0]], read_seqs, vcfg),
+                ),
+            )
+        )
+        total_mm = sum(p.mismatches for p in preps.values())
+        total_cells = sum(p.cells for p in preps.values())
+        error_rate = min(total_mm / max(1, total_cells), vcfg.error_cap)
+        with open(err_path, "w") as f:
+            f.write(f"{error_rate}\n")
+        log.log(f"  pooled error rate {error_rate:.4f}")
+
+        variants = {}
+        n_snps = 0
+        for contig in assembly.segments:
+            variants[contig] = call_variants_from_prep(preps[contig], error_rate, vcfg)
+            n_snps += len(variants[contig].columns)
+        stats.record(
+            "call_variants", time.time() - t0, pileup_cells=total_cells, snps=n_snps
+        )
+        log.log(f"  {n_snps} robust variant positions")
+        from ..io.col_gro import write_col
+
+        write_col(col_path, variants, per_contig_alns, read_names)
+        _write_vcf(os.path.join(out_dir, "variants.vcf"), variants)
 
     # ---- stage 4: separate reads -------------------------------------------
-    log.log("STAGE 4 separating reads")
     scfg = cfg.separate
     scfg.amplicon = amplicon
     scfg.rarest_strain_abundance = cfg.rarest_strain_abundance
-    groups: dict[str, ContigGroups] = {}
+    gro_path = os.path.join(tmp_dir, "reads_haplo.gro")
+    groups: dict[str, ContigGroups] | None = None
     ploidy: dict[str, int] = {}
-    if cfg.haploid_coverage > 0:
-        from .multiplicity import determine_multiplicity, write_ploidy
+    if resume and os.path.exists(gro_path):
+        from ..io.col_gro import read_gro
 
-        for contig, cv in variants.items():
-            assembly.depths.setdefault(contig, cv.depth)
-        ploidy = determine_multiplicity(assembly, cfg.haploid_coverage)
-        write_ploidy(os.path.join(tmp_dir, "ploidy.txt"), ploidy)
-    def _sep(contig):
-        spans = [(a.t_start, a.t_end) for a in per_contig_alns[contig]]
-        mh = ploidy.get(contig, 0)
-        return contig, separate_reads_for_contig(variants[contig], spans, scfg, max_haplotypes=mh)
+        groups = read_gro(gro_path)
+        if set(groups) == set(assembly.segments):
+            log.log(f"  resume: read groups loaded from {gro_path}")
+        else:
+            groups = None
+            resume = False
+    else:
+        resume = False
+    if groups is None:
+        log.log("STAGE 4 separating reads")
+        t0 = time.time()
+        if cfg.haploid_coverage > 0:
+            from .multiplicity import determine_multiplicity, write_ploidy
 
-    groups = dict(_contig_map(cfg.threads, list(assembly.segments), _sep))
-    n_sep = sum(
-        1
-        for g in groups.values()
-        for w in g.windows
-        if len(set(w.labels[w.labels >= 0].tolist())) > 1
-    )
-    log.log(f"  {n_sep} windows with >1 haplotype")
+            for contig, cv in variants.items():
+                assembly.depths.setdefault(contig, cv.depth)
+            ploidy = determine_multiplicity(assembly, cfg.haploid_coverage)
+            write_ploidy(os.path.join(tmp_dir, "ploidy.txt"), ploidy)
+
+        def _sep(contig):
+            spans = [(a.t_start, a.t_end) for a in per_contig_alns[contig]]
+            mh = ploidy.get(contig, 0)
+            return contig, separate_reads_for_contig(variants[contig], spans, scfg, max_haplotypes=mh)
+
+        groups = dict(_contig_map(cfg.threads, list(assembly.segments), _sep))
+        stats.record("separate_reads", time.time() - t0, reads_phased=len(alns))
+        n_sep = sum(
+            1
+            for g in groups.values()
+            for w in g.windows
+            if len(set(w.labels[w.labels >= 0].tolist())) > 1
+        )
+        log.log(f"  {n_sep} windows with >1 haplotype")
+        from ..io.col_gro import write_gro
+
+        write_gro(gro_path, groups, per_contig_alns, read_names)
 
     # ---- stage 5: create new contigs ---------------------------------------
     log.log("STAGE 5 creating new contigs")
+    t0 = time.time()
     zip_in = {c: (per_contig_alns[c], groups[c]) for c in assembly.segments}
     base_caller = None
     if cfg.polisher == "medaka":
@@ -232,11 +414,16 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
         polish_rounds=polish_rounds,
         base_caller=base_caller,
     )
+    new_bp = sum(len(s) for s in zr.graph.segments.values())
+    stats.record("create_new_contigs", time.time() - t0, polished_kbp=new_bp / 1e3)
     write_gfa(zr.graph, os.path.join(tmp_dir, "zipped_assembly.gfa"))
     write_gaf(
         os.path.join(tmp_dir, "reads_on_new_contig.gaf"),
         zr.read_paths,
-        {i: store.names[i] for i in range(len(store))},
+        read_names,
+        graph=zr.graph,
+        alignments=alns,
+        read_lens={i: int(store.lengths[i]) for i in range(len(store))},
     )
     log.log(f"  {len(zr.graph.segments)} new contigs")
 
@@ -246,9 +433,11 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
         supercontigs = {n: [(n, 1)] for n in final_graph.segments}
     else:
         log.log("STAGE 6 untangling with read paths")
+        t0 = time.time()
         ur = unzip(zr.graph, zr.read_paths)
         final_graph = ur.graph
         supercontigs = ur.supercontigs
+        stats.record("untangle", time.time() - t0, contigs=len(final_graph.segments))
         log.log(f"  {len(final_graph.segments)} contigs after untangling")
 
     write_gfa(final_graph, final_gfa)
@@ -261,9 +450,18 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             f.write(
                 name + "\t" + ",".join(f"{n}{'+' if o==1 else '-'}" for n, o in comp) + "\n"
             )
-    if not cfg.no_clean:
-        # keep the interop artifacts users rely on, drop the rest
-        keep = {"error_rate.txt", "zipped_assembly.gfa", "reads_on_new_contig.gaf"}
+    if not (cfg.no_clean or cfg.debug):
+        # keep the resume/interop artifacts, drop the rest
+        keep = {
+            "error_rate.txt",
+            "zipped_assembly.gfa",
+            "reads_on_new_contig.gaf",
+            "variants.col",
+            "reads_haplo.gro",
+            "reads_on_asm.sam",
+            "run_fingerprint.txt",
+            "ploidy.txt",
+        }
         for fn in os.listdir(tmp_dir):
             if fn not in keep:
                 try:
