@@ -93,3 +93,74 @@ def test_reassemble_unaligned_reads(rng):
     best = max(_overlap(c, novel) for c in re_contigs)
     assert best > 0.85, best
     assert max(len(c) for c in re_contigs) > 3000
+
+
+def test_iteration_misjoin_and_gap(rng):
+    # assembly has a misjoin (chim = A + decoy) AND a gap (true genome is
+    # A + insert + B): the loop must cut the chimera, bridge A->B through a
+    # gap-fill, and the uncovered decoy piece must fall to last_cleanup.
+    # Reference behavior: scaffold.cpp:2181-2284 (loop) + :1729 (cleanup).
+    A = random_genome(4000, rng)
+    decoy = random_genome(3000, rng)
+    B = random_genome(4000, rng)
+    insert = random_genome(300, rng)
+    genome = A + insert + B
+    sim = simulate_reads([genome], coverage=15, read_len=2500, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("chim", A + decoy, depth=15)
+    asm.add_segment("B", B, depth=15)
+    reads = {i: s for i, s in enumerate(sim.seqs)}
+    out, rep = correct_assembly(asm, reads)
+    # the chimera was cut near the A/decoy junction
+    assert any(c == "chim" and abs(pos - 4000) < 300 for c, pos in rep.cuts), rep.cuts
+    # the uncovered decoy piece is gone (last_cleanup, coverage <= 1)
+    assert rep.dropped_low_coverage >= 1
+    assert not any(_overlap(s, decoy) > 0.5 for s in out.segments.values())
+    # a gap-fill junction carries the insert (in either orientation)
+    from hairsplitter_tpu.constants import revcomp
+
+    junctions = [s for n, s in out.segments.items() if n.startswith("junction_")]
+    assert junctions
+    assert max(max(_overlap(j, insert), _overlap(revcomp(j), insert)) for j in junctions) > 0.8
+    # end-to-end counts monotonically improve over iterations
+    assert rep.iterations >= 1
+    assert rep.end_to_end_after > rep.end_to_end_before
+    assert all(b >= a for a, b in zip(rep.e2e_history, rep.e2e_history[1:])), rep.e2e_history
+
+
+def test_shave_and_pop_unit():
+    from hairsplitter_tpu.io.gfa import Link
+    from hairsplitter_tpu.pipeline.tailor import shave_and_pop
+
+    g = AssemblyGraph()
+    g.add_segment("main1", "A" * 500)
+    g.add_segment("main2", "C" * 500)
+    g.add_segment("dead", "G" * 30)  # <60bp dead end -> shaved
+    g.add_segment("b1", "A" * 10)  # 10bp bubble pair -> one popped
+    g.add_segment("b2", "C" * 10)
+    g.add_link(Link("main1", "+", "dead", "+", "0M"))
+    g.add_link(Link("main1", "+", "b1", "+", "0M"))
+    g.add_link(Link("main1", "+", "b2", "+", "0M"))
+    g.add_link(Link("b1", "+", "main2", "+", "0M"))
+    g.add_link(Link("b2", "+", "main2", "+", "0M"))
+    removed = shave_and_pop(g, 60, 20)
+    assert "dead" not in g.segments
+    assert ("b1" in g.segments) != ("b2" in g.segments)  # exactly one popped
+    assert removed == 2
+    assert "main1" in g.segments and "main2" in g.segments
+
+
+def test_last_cleanup_unit():
+    from hairsplitter_tpu.core.datatypes import Alignment
+    from hairsplitter_tpu.pipeline.tailor import last_cleanup
+
+    g = AssemblyGraph()
+    g.add_segment("cov", "A" * 1000, depth=5)
+    g.add_segment("nocov", "C" * 1000, depth=5)
+    z = np.zeros(0, np.uint8)
+    alns = {
+        i: [Alignment(i, "cov", 1, 0, 1000, 0, 1000, z, z)] for i in range(3)
+    }
+    dropped = last_cleanup(g, alns, min_coverage=1.0)
+    assert dropped == 1 and "nocov" not in g.segments
+    assert abs(g.depths["cov"] - 3.0) < 1e-6  # depth rewritten from coverage
