@@ -21,6 +21,7 @@ from ..constants import encode_seq
 from ..core.datatypes import Alignment
 from ..io.gfa import AssemblyGraph, Link
 from ..ops.consensus import consensus_from_cells
+from ..ops.triage import check_backbone, select_backbone
 from ..pipeline.pileup import alignment_cells_full, orient_read
 from .separate_reads import ContigGroups
 
@@ -190,6 +191,35 @@ def create_new_contigs(
                 if (separated or polish_everything) and rows.size:
                     rc = [(cells[r][0], cells[r][1]) for r in rows]
                     ri = [(cells[r][2], cells[r][3]) for r in rows]
+                    # polishing triage ladder (reference tools.cpp:397-444):
+                    # a structurally bad backbone is rebuilt before voting
+                    code = 0
+                    if rows.size >= 2:
+                        code = check_backbone(
+                            [alns[r] for r in rows],
+                            [len(read_seqs[alns[r].read_idx]) for r in rows],
+                            iv.start,
+                            iv.end,
+                        )
+                    if code != 0:
+                        baseline = consensus_from_cells(
+                            backbone, iv.start, rc, ri, base_caller=base_caller
+                        )
+                        seq_g = select_backbone(
+                            code,
+                            backbone,
+                            iv.start,
+                            iv.end,
+                            rc,
+                            ri,
+                            [alns[r] for r in rows],
+                            [read_seqs[alns[r].read_idx] for r in rows],
+                            [alns[r].strand for r in rows],
+                            baseline,
+                            base_caller=base_caller,
+                        )
+                        new_graph.add_segment(name, seq_g, depths.get(g, 0.0))
+                        continue
                     seq_g = consensus_from_cells(
                         backbone, iv.start, rc, ri, base_caller=base_caller
                     )
