@@ -30,8 +30,20 @@ import numpy as np
 
 def _repolish_copies(g, copy_of, read_paths, read_seqs_by_row):
     """Reference `repolish.py:102-467`: duplicated copies are re-polished
-    with the reads whose (rewritten) paths traverse them."""
+    with the reads whose (rewritten) paths traverse them. When a copy
+    diverges *structurally* from its reads, the reference falls back to
+    cutting the reads between flanking anchor contigs and racon-polishing
+    the best-anchored read (`repolish.py:295-453`); here the equivalent is
+    the triage tournament (`ops/triage.select_backbone`): best-anchored-read
+    splice across the divergent region, CIGAR patch, and reassembly, each
+    polished and scored by how well the copy's reads fit."""
+    import numpy as np
+
+    from .constants import encode_seq
+    from .core.mapping import map_reads
     from .ops.consensus import polish_iterative
+    from .ops.triage import BACKBONE_GOOD, check_backbone, select_backbone
+    from .pipeline.pileup import alignment_cells_full, orient_read
 
     split_names = set(copy_of) | set(copy_of.values())
     by_contig: dict[str, list[int]] = {}
@@ -44,8 +56,36 @@ def _repolish_copies(g, copy_of, read_paths, read_seqs_by_row):
         reads = [read_seqs_by_row[r] for r in set(rows) if r in read_seqs_by_row]
         if len(reads) < 2:
             continue
-        polished = polish_iterative(g.segments[name], reads, rounds=2)
-        if polished and polished != g.segments[name]:
+        backbone = g.segments[name]
+        alns = map_reads({name: backbone}, reads)
+        code = BACKBONE_GOOD
+        if len(alns) >= 2 and len(backbone) >= 200:
+            code = check_backbone(
+                alns, [len(reads[a.read_idx]) for a in alns], 0, len(backbone) - 1
+            )
+        if code != BACKBONE_GOOD:
+            cells, inss = [], []
+            for a in alns:
+                oriented = orient_read(encode_seq(reads[a.read_idx]), a.strand)
+                tpos, tri, it, ic = alignment_cells_full(a, oriented)
+                cells.append((tpos, (np.asarray(tri, np.int16) // 25).astype(np.int8)))
+                inss.append((it, ic))
+            baseline = polish_iterative(backbone, reads, rounds=2, min_len=50)
+            polished = select_backbone(
+                code,
+                encode_seq(backbone),
+                0,
+                len(backbone) - 1,
+                cells,
+                inss,
+                alns,
+                [reads[a.read_idx] for a in alns],
+                [a.strand for a in alns],
+                baseline,
+            )
+        else:
+            polished = polish_iterative(backbone, reads, rounds=2)
+        if polished and polished != backbone:
             g.segments[name] = polished
             n += 1
     return n
@@ -154,16 +194,18 @@ def cmd_linked_im(args) -> int:
 
 def cmd_untangle_im(args) -> int:
     from .io.gfa import parse_gfa, write_gfa
-    from .pipeline.hic import InteractionMatrix, untangle_with_interactions
+    from .pipeline.hic_solve import solve_with_interactions
     from .pipeline.unzip import merge_linear_chains
 
     g = parse_gfa(args.gfa)
     data = np.load(args.matrix, allow_pickle=True)
-    im = InteractionMatrix(list(data["names"]), data["m"])
-    resolved = untangle_with_interactions(g, im)
+    rep = solve_with_interactions(g, list(data["names"]), data["m"])
     merge_linear_chains(g)
     write_gfa(g, args.out)
-    print(f"resolved {resolved} ambiguous nodes -> {args.out} ({len(g.segments)} contigs)")
+    print(
+        f"solved {rep.knots_solved}/{rep.knots_seen} knots in {rep.rounds} rounds, "
+        f"duplicated {rep.contigs_duplicated} contigs -> {args.out} ({len(g.segments)} contigs)"
+    )
     return 0
 
 

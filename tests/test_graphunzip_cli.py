@@ -86,3 +86,34 @@ def test_hic_im_and_untangle(tmp_path, rng):
     assert gz_main(["untangle-im", "-g", str(gfa), "-m", str(im_path), "-o", str(out)]) == 0
     g = parse_gfa(str(out))
     assert len(g.segments) == 2  # two phased supercontigs
+
+
+def test_repolish_structural_variant_fallback(rng):
+    # a duplicated copy diverges structurally from its assigned reads (the
+    # reads carry a 250bp block the copy lacks): the reference falls back to
+    # cutting reads between flanking anchors and polishing the best-anchored
+    # read (repolish.py:295-453); the copy must come out with the block
+    from hairsplitter_tpu.constants import revcomp
+    from hairsplitter_tpu.graphunzip import _repolish_copies
+    from hairsplitter_tpu.io.gfa import AssemblyGraph
+    from hairsplitter_tpu.utils.sim import simulate_reads
+
+    base = random_genome(2500, rng)
+    insert = random_genome(250, rng)
+    truth = base[:1200] + insert + base[1200:]
+    g = AssemblyGraph()
+    g.add_segment("X", base, 10)
+    sim = simulate_reads([truth], coverage=12, read_len=1500, rng=rng, sub_rate=0.01)
+    by_row = {i: s for i, s in enumerate(sim.seqs)}
+    read_paths = {i: [("X", 1)] for i in by_row}
+    n = _repolish_copies(g, {"X": "X"}, read_paths, by_row)
+    assert n == 1
+    out = g.segments["X"]
+
+    def ov(a, b, k=21):
+        ka = {a[i : i + k] for i in range(len(a) - k + 1)}
+        kb = {b[i : i + k] for i in range(len(b) - k + 1)}
+        return len(ka & kb) / max(1, len(ka))
+
+    assert abs(len(out) - len(truth)) < 80, (len(out), len(truth))
+    assert max(ov(out, truth), ov(revcomp(out), truth)) > 0.9

@@ -68,3 +68,71 @@ def test_bihap_solution_file(tmp_path):
     write_bihap_solution(p, "ctg", ["r1", "r2"], np.array([0, 1]))
     txt = open(p).read()
     assert "CONTIG\tctg" in txt and "LABELS\t0,1" in txt
+
+
+def test_sinkhorn_normalize_rows():
+    from hairsplitter_tpu.pipeline.hic_solve import sinkhorn_normalize
+
+    m = np.array([[0, 8, 1], [8, 0, 3], [1, 3, 0]], dtype=float)
+    w = sinkhorn_normalize(m)
+    assert np.all(np.diag(w) == 0)
+    sums = w.sum(axis=1)
+    assert np.allclose(sums[sums > 0], 1.0)
+
+
+def _diamond(depth_mid=20, mid_names=("S",)):
+    g = AssemblyGraph()
+    for n in "ABCD":
+        g.add_segment(n, "ACGT" * 500, depth=10)
+    prev = None
+    for m in mid_names:
+        g.add_segment(m, "TTTT" * 500, depth=depth_mid)
+        if prev:
+            g.add_link(Link(prev, "+", m, "+"))
+        prev = m
+    g.add_link(Link("A", "+", mid_names[0], "+"))
+    g.add_link(Link("C", "+", mid_names[0], "+"))
+    g.add_link(Link(mid_names[-1], "+", "B", "+"))
+    g.add_link(Link(mid_names[-1], "+", "D", "+"))
+    return g
+
+
+def test_solve_with_interactions_knot():
+    # the full iterative solver (reference solve_with_HiC.py:37-180): a
+    # collapsed knot of TWO chained repeat contigs between 4 anchors
+    from hairsplitter_tpu.pipeline.hic_solve import solve_with_interactions
+
+    g = _diamond(depth_mid=20, mid_names=("S", "T"))
+    names = list(g.segments)
+    pairs = [("A", "B")] * 30 + [("C", "D")] * 30 + [("A", "D")] * 2
+    from hairsplitter_tpu.pipeline.hic import interaction_matrix_from_pairs
+
+    im = interaction_matrix_from_pairs(names, pairs)
+    rep = solve_with_interactions(g, names, im.m)
+    assert rep.knots_solved >= 1
+    assert rep.contigs_duplicated == 4  # S and T duplicated once per path
+    assert "S" not in g.segments and "T" not in g.segments
+    # each anchor pair is now chained through its own copies
+    keys = {(l.name1, l.name2) for l in g.links}
+
+    def chain_from(a):
+        cur, seen = a, []
+        while True:
+            nxts = [b for x, b in keys if x == cur]
+            if not nxts:
+                return seen
+            cur = nxts[0]
+            seen.append(cur)
+
+    assert chain_from("A")[-1] == "B"
+    assert chain_from("C")[-1] == "D"
+
+
+def test_solve_with_interactions_no_signal_leaves_graph_alone():
+    from hairsplitter_tpu.pipeline.hic_solve import solve_with_interactions
+
+    g = _diamond()
+    names = list(g.segments)
+    rep = solve_with_interactions(g, names, np.zeros((len(names), len(names))))
+    assert rep.contigs_duplicated == 0
+    assert "S" in g.segments
