@@ -45,3 +45,47 @@ def test_nn_polisher_corrects_backbone_divergence(rng):
     # at diverged positions the net must follow the reads, not the backbone
     acc_at_div = float((pred[diverged] == labels[diverged]).mean())
     assert acc_at_div > 0.8, acc_at_div
+
+
+def test_nn_polisher_realistic_reads_with_indels(rng):
+    # VERDICT weak #7: validate against majority on REAL simulated reads
+    # (16% total error incl. indels) through the full alignment+pileup path,
+    # not just the model's own synthetic feature distribution — low
+    # coverage, where the learned prior has room to matter
+    from hairsplitter_tpu.constants import encode_seq
+    from hairsplitter_tpu.core.mapping import map_reads
+    from hairsplitter_tpu.ops.consensus import consensus_from_cells
+    from hairsplitter_tpu.pipeline.pileup import alignment_cells_full, orient_read
+    from hairsplitter_tpu.utils.sim import make_haplotypes, simulate_reads
+
+    def edit(a, b):
+        m = np.zeros((len(a) + 1, len(b) + 1), int)
+        m[:, 0] = np.arange(len(a) + 1)
+        m[0, :] = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            row, prev, ai = m[i], m[i - 1], a[i - 1]
+            for j in range(1, len(b) + 1):
+                row[j] = min(prev[j - 1] + (ai != b[j - 1]), prev[j] + 1, row[j - 1] + 1)
+        return int(m[len(a), len(b)])
+
+    nn = P.default_polisher()
+    bc = lambda counts, cover, ins_rate, backbone: nn.polish_counts(  # noqa: E731
+        counts, ins_rate, backbone
+    )
+    truth = make_haplotypes(2000, 1, 0.001, rng)[0]
+    sim = simulate_reads(
+        [truth], coverage=8, read_len=2000, rng=rng,
+        sub_rate=0.10, ins_rate=0.03, del_rate=0.03,
+    )
+    alns = map_reads({"b": truth}, sim.seqs)
+    cells, inss = [], []
+    for a in alns:
+        oriented = orient_read(encode_seq(sim.seqs[a.read_idx]), a.strand)
+        tpos, tri, it, ic = alignment_cells_full(a, oriented)
+        cells.append((tpos, (np.asarray(tri, np.int16) // 25).astype(np.int8)))
+        inss.append((it, ic))
+    maj = consensus_from_cells(encode_seq(truth), 0, cells, inss)
+    nnc = consensus_from_cells(encode_seq(truth), 0, cells, inss, base_caller=bc)
+    e_maj, e_nn = edit(maj, truth), edit(nnc, truth)
+    assert e_nn <= e_maj, (e_nn, e_maj)
+    assert e_nn <= 2, e_nn
