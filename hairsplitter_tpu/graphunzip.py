@@ -119,6 +119,11 @@ def cmd_unzip(args) -> int:
         }
         n = _repolish_copies(g, copy_of, read_paths, by_row)
         print(f"repolished {n} duplicated contigs")
+    if args.duplicate:
+        from .pipeline.unzip import duplicate_multiway
+
+        n_dup = duplicate_multiway(g)
+        print(f"-D: duplicated {n_dup} contig copies by topology")
     remove_tips(g)
     g.dedupe_links()
     composition = merge_linear_chains(g)
@@ -223,6 +228,12 @@ def main(argv=None) -> int:
     u.add_argument("-o", "--out", default="output.gfa")
     u.add_argument("-f", "--fasta", default="", help="optional FASTA output")
     u.add_argument("-e", "--exhaustive", action="store_true", help="remove unsupported links")
+    u.add_argument(
+        "-D",
+        "--duplicate",
+        action="store_true",
+        help="duplicate contigs by topology+coverage (reference finish_untangling.py:223)",
+    )
     u.add_argument("--supercontigs", default="supercontigs.txt")
     u.set_defaults(fn=cmd_unzip)
 

@@ -117,3 +117,45 @@ def test_repolish_structural_variant_fallback(rng):
 
     assert abs(len(out) - len(truth)) < 80, (len(out), len(truth))
     assert max(ov(out, truth), ov(revcomp(out), truth)) > 0.9
+
+
+def test_duplicate_multiway(rng):
+    # reference finish_untangling.py:223-268 (-D): a deep contig whose 2+2
+    # neighbors each hang off it by their only link is duplicated per
+    # one-side neighbor with proportional depth; a shallow neighbor (<0.2x)
+    # blocks duplication
+    from hairsplitter_tpu.io.gfa import AssemblyGraph, Link
+    from hairsplitter_tpu.pipeline.unzip import _neighbors, duplicate_multiway
+
+    g = AssemblyGraph()
+    for n, d in (("A", 12), ("B", 8), ("C", 12), ("D", 8), ("X", 20)):
+        g.add_segment(n, random_genome(1500, rng), depth=d)
+    g.add_link(Link("A", "+", "X", "+"))
+    g.add_link(Link("B", "+", "X", "+"))
+    g.add_link(Link("X", "+", "C", "+"))
+    g.add_link(Link("X", "+", "D", "+"))
+    made = duplicate_multiway(g)
+    assert made == 2
+    assert "X" not in g.segments
+    dups = sorted(n for n in g.segments if n.startswith("X-dup"))
+    assert len(dups) == 2
+    # proportional depth split: 20 * 12/20 and 20 * 8/20
+    assert sorted(round(g.depths[n], 2) for n in dups) == [8.0, 12.0]
+    # each copy has exactly one neighbor on the duplicated side and both on
+    # the other (which side is duplicated depends on scan order, like the
+    # reference's end loop)
+    for n in dups:
+        counts = sorted((len(_neighbors(g, n, "-")), len(_neighbors(g, n, "+"))))
+        assert counts == [1, 2], counts
+
+    # a long contig much shallower than its neighbors is NOT a collapsed
+    # repeat: depth > 0.7 * sum(neighbors) fails on both ends
+    g2 = AssemblyGraph()
+    for n, d in (("A", 12), ("B", 8), ("C", 12), ("D", 8), ("X", 5)):
+        g2.add_segment(n, random_genome(1500, rng), depth=d)
+    g2.add_link(Link("A", "+", "X", "+"))
+    g2.add_link(Link("B", "+", "X", "+"))
+    g2.add_link(Link("X", "+", "C", "+"))
+    g2.add_link(Link("X", "+", "D", "+"))
+    assert duplicate_multiway(g2) == 0
+    assert "X" in g2.segments
