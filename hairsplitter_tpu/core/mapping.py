@@ -72,10 +72,23 @@ def select_pins(qa: np.ndarray, ta: np.ndarray, cfg: MapConfig) -> list[tuple[in
     """Subset of chain anchors used as exact pins between DP chunks.
 
     Greedy: reach as far as the chunk geometry allows; across anchor deserts
-    synthesize interpolated pins (approximate, absorbed by the band)."""
+    synthesize interpolated pins (approximate, absorbed by the band).
+    Dispatches to the native twin when available (bit-identical)."""
     B = cfg.spec.chunk
     T = cfg.spec.t_width
     md = cfg.maxdrift
+
+    from .. import native as _native
+
+    pairs = _native.select_pins(np.asarray(qa), np.asarray(ta), B, T, md)
+    if pairs is not None:
+        pins = [(int(a), int(b)) for a, b in pairs]
+        out = [pins[0]]
+        for p in pins[1:]:
+            if p[0] > out[-1][0] and p[1] > out[-1][1]:
+                out.append(p)
+        return out
+
     pins = [(int(qa[0]), int(ta[0]))]
     idx = 0
     n = qa.size
@@ -242,13 +255,15 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        ops_rev, meta = align_traceback_device(
+        ops_rev4, meta = align_traceback_device(
             qb, qlens, tb, tlens, modes, spec, cfg.use_pallas
         )  # async dispatch: nothing blocks until the pulls below
-        pending.append((lo, sub, ops_rev, meta))
-    for lo, sub, ops_rev, meta in pending:
+        pending.append((lo, sub, ops_rev4, meta))
+    from ..ops.align_device import unpack_ops4
+
+    for lo, sub, ops_rev4, meta in pending:
         meta = np.asarray(meta)
-        ops_rev = np.asarray(ops_rev)
+        ops_rev = unpack_ops4(ops_rev4)
         for i, job in enumerate(sub):
             k = int(meta[i, 0])
             ops = ops_rev[i, :k][::-1]

@@ -51,7 +51,18 @@ def minimizers(codes: np.ndarray, k: int, w: int) -> tuple[np.ndarray, np.ndarra
     """(positions, canonical k-mer hashes, strand) of the sequence's minimizers.
 
     strand: 0 if the forward k-mer is canonical, 1 if the reverse complement is.
-    """
+    Dispatches to the native rolling implementation when available
+    (bit-identical; ~10x the numpy path, tests/test_native.py)."""
+    from .. import native as _native
+
+    out = _native.minimizers(np.ascontiguousarray(codes, dtype=np.int8), k, w)
+    if out is not None:
+        return out
+    return _minimizers_numpy(codes, k, w)
+
+
+def _minimizers_numpy(codes: np.ndarray, k: int, w: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-numpy reference implementation of :func:`minimizers`."""
     fwd, rc = _kmer_codes(codes, k)
     if fwd.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, np.int8)
@@ -187,6 +198,25 @@ def chain_anchors(
         return []
     order = np.argsort(tpos, kind="stable")
     q, t = qpos[order], tpos[order]
+
+    def _segment(qs: np.ndarray, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        keep = _lis_monotonic(qs, ts)
+        qs, ts = qs[keep], ts[keep]
+        # drop duplicate q/t values that survive LIS ties
+        ok = np.ones(qs.size, dtype=bool)
+        ok[1:] = (np.diff(qs) > 0) & (np.diff(ts) > 0)
+        return qs[ok], ts[ok]
+
+    from .. import native as _native
+
+    breaks = _native.chain_sweep(q, t, max_gap, max_diag_diff)
+    if breaks is not None:
+        return [
+            _segment(q[s0:s1], t[s0:s1])
+            for s0, s1 in zip(breaks[:-1], breaks[1:])
+            if s1 > s0
+        ]
+
     diag = t - q
     chains = []
     # greedy sweep: break where the target jumps or the diagonal drifts too far
@@ -198,13 +228,7 @@ def chain_anchors(
             or t[i] - t[i - 1] > max_gap
             or abs(int(diag[i]) - int(ref_diag)) > max_diag_diff
         ):
-            qs, ts = q[start:i], t[start:i]
-            keep = _lis_monotonic(qs, ts)
-            qs, ts = qs[keep], ts[keep]
-            # drop duplicate q/t values that survive LIS ties
-            ok = np.ones(qs.size, dtype=bool)
-            ok[1:] = (np.diff(qs) > 0) & (np.diff(ts) > 0)
-            chains.append((qs[ok], ts[ok]))
+            chains.append(_segment(q[start:i], t[start:i]))
             if i < q.size:
                 start = i
                 ref_diag = diag[i]

@@ -68,6 +68,36 @@ def get_lib():
         ctypes.c_int32,
         ctypes.c_uint64,
     ]
+    lib.hs_minimizers.restype = ctypes.c_int64
+    lib.hs_minimizers.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int8),
+    ]
+    lib.hs_chain_sweep.restype = ctypes.c_int64
+    lib.hs_chain_sweep.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hs_select_pins.restype = ctypes.c_int64
+    lib.hs_select_pins.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _LIB = lib
     return _LIB
 
@@ -123,3 +153,75 @@ def chinese_whispers(adj: np.ndarray, init: np.ndarray, mask: np.ndarray, n_iter
         seed,
     )
     return labels
+
+
+def minimizers(codes: np.ndarray, k: int, w: int):
+    """Native twin of `core.seeding.minimizers` (bit-identical); None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    m = max(0, codes.size - k + 1)
+    pos = np.empty(m, dtype=np.int64)
+    h = np.empty(m, dtype=np.uint64)
+    strand = np.empty(m, dtype=np.int8)
+    cnt = lib.hs_minimizers(
+        _ptr(codes, ctypes.c_int8),
+        codes.size,
+        k,
+        w,
+        _ptr(pos, ctypes.c_int64),
+        _ptr(h, ctypes.c_uint64),
+        _ptr(strand, ctypes.c_int8),
+    )
+    return pos[:cnt], h[:cnt], strand[:cnt]
+
+
+def chain_sweep(q: np.ndarray, t: np.ndarray, max_gap: int, max_diag_diff: int):
+    """Native twin of the chain_anchors break loop; returns boundary indices
+    [0, b1, ..., n], or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.int64)
+    t = np.ascontiguousarray(t, dtype=np.int64)
+    breaks = np.empty(q.size + 2, dtype=np.int64)
+    nb = lib.hs_chain_sweep(
+        _ptr(q, ctypes.c_int64),
+        _ptr(t, ctypes.c_int64),
+        q.size,
+        int(max_gap),
+        int(max_diag_diff),
+        _ptr(breaks, ctypes.c_int64),
+    )
+    return breaks[:nb]
+
+
+def select_pins(qa: np.ndarray, ta: np.ndarray, B: int, T: int, md: int):
+    """Native twin of `core.mapping.select_pins` (pre-dedupe); None if
+    unavailable or if the conservative capacity bound is exceeded."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qa = np.ascontiguousarray(qa, dtype=np.int64)
+    ta = np.ascontiguousarray(ta, dtype=np.int64)
+    n = qa.size
+    span_q = int(qa[-1] - qa[0])
+    span_t = int(ta[-1] - ta[0])
+    cap = 2 * n + span_q // max(1, B) + span_t // max(1, T) + (span_q + span_t) // max(1, md) + 16
+    out = np.empty(2 * cap, dtype=np.int64)
+    cnt = lib.hs_select_pins(
+        _ptr(qa, ctypes.c_int64),
+        _ptr(ta, ctypes.c_int64),
+        n,
+        int(B),
+        int(T),
+        int(md),
+        cap,
+        _ptr(out, ctypes.c_int64),
+    )
+    if cnt < 0:
+        return None
+    pairs = out[: 2 * cnt].reshape(cnt, 2)
+    return pairs

@@ -124,5 +124,22 @@ def align_traceback_device(q, q_lens, t, t_lens, modes, spec: BandSpec, use_pall
         res, q_lens, t_lens, modes.astype(jnp.int32), spec
     )
     ops, n_ops = traceback_device(res["bp"], q, t, start_i, start_b, spec)
+    # pack 4 ops per byte: TB codes are 2 bits, -1 padding becomes 0 and is
+    # stripped by n_ops — quarters the tunnel transfer per bucket
+    N, S = ops.shape
+    s4 = -(-S // 4) * 4
+    ops_u = jnp.pad(jnp.where(ops < 0, 0, ops).astype(jnp.int32), ((0, 0), (0, s4 - S)))
+    shifts = jnp.asarray([1, 4, 16, 64], jnp.int32)
+    ops4 = (ops_u.reshape(N, s4 // 4, 4) * shifts).sum(-1).astype(jnp.uint8)
     meta = jnp.stack([n_ops, cost.astype(jnp.int32), clip.astype(jnp.int32)], axis=1)
-    return ops, meta  # two pulls per bucket — the only host traffic
+    return ops4, meta  # two pulls per bucket — the only host traffic
+
+
+def unpack_ops4(ops4) -> "np.ndarray":
+    """Host-side inverse of the device 4-per-byte CIGAR-op packing (reversed
+    op stream; strip with meta's n_ops, then reverse)."""
+    import numpy as np
+
+    ops4 = np.asarray(ops4)
+    u = (ops4[..., None] >> (2 * np.arange(4, dtype=np.uint8))) & 3
+    return u.reshape(ops4.shape[0], ops4.shape[1] * 4).astype(np.int8)

@@ -176,4 +176,160 @@ void hs_chinese_whispers(const int8_t* adj, int64_t n, int64_t* labels,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Minimizer extraction (seeding.py:minimizers, bit-identical): rolling 2-bit
+// fwd/rc k-mers, splitmix64 canonical hash, leftmost window minimum via a
+// monotonic deque, adjacent-duplicate emission collapse (== np.unique of
+// per-window argmins), bad-base (code>3) and palindromic k-mers masked out.
+static inline uint64_t hs_mix64(uint64_t x) {
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+int64_t hs_minimizers(const int8_t* codes, int64_t n, int32_t k, int32_t w,
+                      int64_t* out_pos, uint64_t* out_hash, int8_t* out_strand) {
+    if (n < k) return 0;
+    const int64_t m = n - k + 1;
+    const uint64_t MAXU = ~0ULL;
+    std::vector<uint64_t> h(m);
+    std::vector<int8_t> str(m);
+    uint64_t fwd = 0, rc = 0;
+    const uint64_t mask = (k >= 32) ? MAXU : ((1ULL << (2 * k)) - 1);
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t c = (uint64_t)(uint8_t)codes[i];
+        if (c > 3) { last_bad = i; c &= 3ULL; }  // numpy path uses code & 3
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | ((3ULL - c) << (2 * (k - 1)));
+        if (i >= k - 1) {
+            int64_t p = i - k + 1;
+            if (last_bad >= p || fwd == rc) {
+                h[p] = MAXU;
+                str[p] = (int8_t)(rc < fwd);
+            } else {
+                h[p] = hs_mix64(std::min(fwd, rc));
+                str[p] = (int8_t)(rc < fwd);
+            }
+        }
+    }
+    int64_t cnt = 0;
+    if (m <= w) {
+        int64_t best = 0;
+        for (int64_t i = 1; i < m; i++)
+            if (h[i] < h[best]) best = i;
+        if (h[best] != MAXU) {
+            out_pos[cnt] = best; out_hash[cnt] = h[best]; out_strand[cnt] = str[best]; cnt++;
+        }
+        return cnt;
+    }
+    std::vector<int64_t> dq(m);
+    int64_t head = 0, tail = 0, last_emit = -1;
+    for (int64_t i = 0; i < m; i++) {
+        while (tail > head && h[dq[tail - 1]] > h[i]) tail--;
+        dq[tail++] = i;
+        if (dq[head] <= i - w) head++;
+        if (i >= w - 1) {
+            int64_t idx = dq[head];
+            if (idx != last_emit) {
+                last_emit = idx;
+                if (h[idx] != MAXU) {
+                    out_pos[cnt] = idx; out_hash[cnt] = h[idx]; out_strand[cnt] = str[idx]; cnt++;
+                }
+            }
+        }
+    }
+    return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// Chain sweep (seeding.py:chain_anchors break loop, bit-identical): anchors
+// sorted by t; break where the target jumps > max_gap or the EWMA-tracked
+// diagonal drifts > max_diag_diff. Returns the number of boundary entries
+// written to `breaks` (first 0, last n).
+static inline int64_t hs_floordiv4(int64_t x) {
+    return (x >= 0) ? x / 4 : -((-x + 3) / 4);
+}
+
+int64_t hs_chain_sweep(const int64_t* q, const int64_t* t, int64_t n,
+                       int64_t max_gap, int64_t max_diag_diff, int64_t* breaks) {
+    int64_t nb = 0;
+    breaks[nb++] = 0;
+    if (n == 0) { breaks[nb++] = 0; return nb; }
+    int64_t ref = t[0] - q[0];
+    for (int64_t i = 1; i < n; i++) {
+        int64_t d = t[i] - q[i];
+        int64_t drift = d - ref;
+        if (t[i] - t[i - 1] > max_gap || (drift < 0 ? -drift : drift) > max_diag_diff) {
+            breaks[nb++] = i;
+            ref = d;
+        } else {
+            ref = hs_floordiv4(ref * 3 + d);  // Python // semantics
+        }
+    }
+    breaks[nb++] = n;
+    return nb;
+}
+
+// ---------------------------------------------------------------------------
+// Pin selection (mapping.py:select_pins, bit-identical incl. Python round()
+// banker's rounding in desert interpolation). Writes (q,t) pairs into
+// out_qt[2*cap]; returns the pin count, or -1 if cap would overflow.
+static inline int64_t hs_py_round(int64_t num, int64_t den) {
+    // round(num/den) with ties-to-even; num >= 0, den > 0
+    int64_t fl = num / den;
+    int64_t rem2 = 2 * (num - fl * den);
+    if (rem2 > den) return fl + 1;
+    if (rem2 < den) return fl;
+    return (fl % 2 == 0) ? fl : fl + 1;
+}
+
+static inline int64_t hs_ceil_div(int64_t a, int64_t b) { return (a + b - 1) / b; }
+
+int64_t hs_select_pins(const int64_t* qa, const int64_t* ta, int64_t n,
+                       int64_t B, int64_t T, int64_t md, int64_t cap,
+                       int64_t* out_qt) {
+    int64_t np_pins = 0;
+    auto push = [&](int64_t qv, int64_t tv) -> bool {
+        if (np_pins >= cap) return false;
+        out_qt[2 * np_pins] = qv;
+        out_qt[2 * np_pins + 1] = tv;
+        np_pins++;
+        return true;
+    };
+    if (!push(qa[0], ta[0])) return -1;
+    int64_t idx = 0;
+    const int64_t md1 = md > 1 ? md : 1;
+    while (idx < n - 1) {
+        int64_t best = -1;
+        for (int64_t j2 = idx + 1; j2 < n; j2++) {
+            int64_t dq = qa[j2] - qa[idx];
+            int64_t dt = ta[j2] - ta[idx];
+            int64_t drift = dt - dq;
+            if (dq > B || dt > T || (drift < 0 ? -drift : drift) > md) break;
+            best = j2;
+        }
+        if (best < 0) {
+            int64_t nxt = idx + 1;
+            int64_t dq = qa[nxt] - qa[idx];
+            int64_t dt = ta[nxt] - ta[idx];
+            int64_t drift = dt - dq;
+            int64_t npieces = hs_ceil_div(dq, B);
+            npieces = std::max(npieces, hs_ceil_div(dt, T));
+            npieces = std::max(npieces, hs_ceil_div(drift < 0 ? -drift : drift, md1));
+            npieces = std::max(npieces, (int64_t)1);
+            for (int64_t mstep = 1; mstep <= npieces; mstep++) {
+                if (!push(qa[idx] + hs_py_round(dq * mstep, npieces),
+                          ta[idx] + hs_py_round(dt * mstep, npieces)))
+                    return -1;
+            }
+            idx = nxt;
+        } else {
+            if (!push(qa[best], ta[best])) return -1;
+            idx = best;
+        }
+    }
+    return np_pins;
+}
+
 }  // extern "C"

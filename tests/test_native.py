@@ -58,3 +58,83 @@ def test_native_cw_two_clusters():
     mask[3] = False
     labels = native.chinese_whispers(adj, np.arange(n), mask)
     assert labels[3] == -2
+
+
+def test_native_minimizers_bit_identical(rng):
+    from hairsplitter_tpu import native
+    from hairsplitter_tpu.constants import encode_seq
+    from hairsplitter_tpu.core.seeding import _minimizers_numpy
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for n, k, w in ((5000, 15, 10), (200, 11, 6), (16, 15, 10), (10, 15, 10), (0, 15, 10)):
+        seq = "".join(rng.choice(list("ACGTN"), p=[0.24, 0.24, 0.24, 0.24, 0.04], size=n))
+        codes = encode_seq(seq)
+        ref = _minimizers_numpy(codes, k, w)
+        got = native.minimizers(codes, k, w)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_chain_sweep_bit_identical(rng):
+    from hairsplitter_tpu import native
+    from hairsplitter_tpu.core.seeding import chain_anchors
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    # compare the full chain_anchors output against the pure-python sweep by
+    # monkeypatching the native hook off
+    for trial in range(5):
+        n = int(rng.integers(2, 400))
+        t = np.sort(rng.integers(0, 20000, n)).astype(np.int64)
+        q = (t - 1000 + rng.integers(-600, 600, n)).astype(np.int64)
+        ref_breaks = []
+        # python reference sweep
+        diag = t - q
+        start, ref_diag = 0, int(diag[0])
+        ref_breaks.append(0)
+        for i in range(1, n + 1):
+            if i == n or t[i] - t[i - 1] > 5000 or abs(int(diag[i]) - ref_diag) > 500:
+                if i < n:
+                    ref_breaks.append(i)
+                    ref_diag = int(diag[i])
+            else:
+                ref_diag = (ref_diag * 3 + int(diag[i])) // 4
+        ref_breaks.append(n)
+        got = native.chain_sweep(q, t, 5000, 500)
+        np.testing.assert_array_equal(got, np.asarray(ref_breaks, np.int64))
+
+
+def test_native_select_pins_bit_identical(rng):
+    from hairsplitter_tpu import native
+    from hairsplitter_tpu.core.mapping import MapConfig, select_pins
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    cfg = MapConfig()
+    B, T, md = cfg.spec.chunk, cfg.spec.t_width, cfg.maxdrift
+    import hairsplitter_tpu.native as nat
+
+    for trial in range(10):
+        n = int(rng.integers(2, 120))
+        qa = np.cumsum(rng.integers(1, 700, n)).astype(np.int64)
+        ta = (qa + rng.integers(-40, 40, n)).astype(np.int64)
+        ta = np.maximum.accumulate(ta + np.arange(n))  # strictly increasing-ish
+        keep = np.ones(n, bool)
+        keep[1:] = (np.diff(qa) > 0) & (np.diff(ta) > 0)
+        qa, ta = qa[keep], ta[keep]
+        got = select_pins(qa, ta, cfg)
+        # force the python path
+        orig = nat.select_pins
+        nat.select_pins = lambda *a, **k: None
+        try:
+            ref = select_pins(qa, ta, cfg)
+        finally:
+            nat.select_pins = orig
+        assert got == ref
