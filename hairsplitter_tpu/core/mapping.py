@@ -28,7 +28,7 @@ from ..ops.align import (
     traceback_batch,
 )
 from .datatypes import Alignment
-from .seeding import MinimizerIndex, find_chains
+from .seeding import MinimizerIndex, find_chains, find_chains_batch
 
 
 @dataclass(frozen=True)
@@ -255,15 +255,14 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        ops_rev4, meta = align_traceback_device(
+        fused = align_traceback_device(
             qb, qlens, tb, tlens, modes, spec, cfg.use_pallas
         )  # async dispatch: nothing blocks until the pulls below
-        pending.append((lo, sub, ops_rev4, meta))
-    from ..ops.align_device import unpack_ops4
+        pending.append((lo, sub, fused))
+    from ..ops.align_device import split_fused
 
-    for lo, sub, ops_rev4, meta in pending:
-        meta = np.asarray(meta)
-        ops_rev = unpack_ops4(ops_rev4)
+    for lo, sub, fused in pending:
+        ops_rev, meta = split_fused(fused)
         for i, job in enumerate(sub):
             k = int(meta[i, 0])
             ops = ops_rev[i, :k][::-1]
@@ -294,9 +293,10 @@ def map_reads(
     T = cfg.spec.t_width
     dr = cfg.spec.dr
 
-    for ridx, seq in zip(read_indices, read_seqs):
-        codes = encode_seq(seq)
-        for chain in find_chains(index, codes, min_anchors=cfg.min_anchors):
+    all_codes = [encode_seq(seq) for seq in read_seqs]
+    all_chains = find_chains_batch(index, all_codes, min_anchors=cfg.min_anchors)
+    for ridx, codes, read_chains in zip(read_indices, all_codes, all_chains):
+        for chain in read_chains:
             oriented = codes if chain.strand == 1 else revcomp_codes(codes)
             tcodes = contig_codes[index.contig_names[chain.contig_id]]
             pins = select_pins(chain.q_anchors, chain.t_anchors, cfg)

@@ -251,10 +251,68 @@ def find_chains(
     split/supplementary placements on disjoint read intervals are kept
     (`src/input_output.cpp:472-476`).
     """
-    k = index.k
-    qlen = len(read_codes)
-    p, h, s = minimizers(read_codes, k, index.w)
+    p, h, s = minimizers(read_codes, index.k, index.w)
     qidx, cid, tpos, tstr = index.lookup(h)
+    return _chains_from_hits(
+        index, len(read_codes), p, s, qidx, cid, tpos, tstr,
+        min_anchors, min_score_frac, max_overlap_frac,
+    )
+
+
+def find_chains_batch(
+    index: MinimizerIndex,
+    reads_codes: list[np.ndarray],
+    min_anchors: int = 4,
+    min_score_frac: float = 0.1,
+    max_overlap_frac: float = 0.5,
+) -> list[list[Chain]]:
+    """`find_chains` over many reads with ONE concatenated index lookup —
+    the per-read searchsorted calls dominate the host seeding cost
+    otherwise. Bit-identical to calling find_chains per read."""
+    minis = [minimizers(c, index.k, index.w) for c in reads_codes]
+    sizes = np.array([m[1].size for m in minis], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    h_all = (
+        np.concatenate([m[1] for m in minis]) if minis else np.zeros(0, np.uint64)
+    )
+    qidx, cid, tpos, tstr = index.lookup(h_all)
+    # hits are emitted in query order -> contiguous per read
+    bounds = np.searchsorted(qidx, offsets)
+    out: list[list[Chain]] = []
+    for r, (p, _h, s) in enumerate(minis):
+        lo, hi = bounds[r], bounds[r + 1]
+        out.append(
+            _chains_from_hits(
+                index,
+                len(reads_codes[r]),
+                p,
+                s,
+                qidx[lo:hi] - offsets[r],
+                cid[lo:hi],
+                tpos[lo:hi],
+                tstr[lo:hi],
+                min_anchors,
+                min_score_frac,
+                max_overlap_frac,
+            )
+        )
+    return out
+
+
+def _chains_from_hits(
+    index: MinimizerIndex,
+    qlen: int,
+    p: np.ndarray,
+    s: np.ndarray,
+    qidx: np.ndarray,
+    cid: np.ndarray,
+    tpos: np.ndarray,
+    tstr: np.ndarray,
+    min_anchors: int,
+    min_score_frac: float,
+    max_overlap_frac: float,
+) -> list[Chain]:
+    k = index.k
     if qidx.size == 0:
         return []
     rpos = p[qidx]

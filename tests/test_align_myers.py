@@ -123,10 +123,10 @@ def test_device_traceback_matches_host():
     cost_r, si_r, sb_r, clip_r = readout(ref, qlens, tlens, modes, spec)
     ops_r = traceback_batch(ref["bp"], q, t, si_r, sb_r, spec)
 
-    from hairsplitter_tpu.ops.align_device import unpack_ops4
+    from hairsplitter_tpu.ops.align_device import split_fused
 
-    ops_rev4, meta = align_traceback_device(q, qlens, t, tlens, modes, spec, use_pallas=False)
-    ops_rev, meta = unpack_ops4(ops_rev4), np.asarray(meta)
+    fused = align_traceback_device(q, qlens, t, tlens, modes, spec, use_pallas=False)
+    ops_rev, meta = split_fused(fused)
     np.testing.assert_array_equal(meta[:, 1], cost_r)
     np.testing.assert_array_equal(meta[:, 2], clip_r)
     for i in range(48):
