@@ -106,6 +106,19 @@ def phase_window_jit(sim, diff, mask, inits, err, n_iters: int = 30):
     return phase_window_core(sim, diff, mask, inits, err, n_iters)
 
 
+@partial(jax.jit, static_argnames=("n_iters",))
+def phase_windows_jit(sim, diff, masks, inits, err, n_iters: int = 30):
+    """Every window of one contig in ONE device call: `sim`/`diff` are
+    contig-level (window-independent, shared across the vmap), only the span
+    masks [Wn, R] and seed labelings [Wn, K, R] vary per window. One call +
+    one pull replaces a call per window — the per-dispatch sync dominates on
+    a tunneled chip, and one big batch beats many small ones on local
+    hardware too."""
+    return jax.vmap(
+        lambda m, i: phase_window_core(sim, diff, m, i, err, n_iters)
+    )(masks, inits)
+
+
 def phase_contigs_batch(
     pileup: jnp.ndarray,  # int8 [C, R, P] trimer codes (TRIMER_ABSENT = none)
     contig_codes: jnp.ndarray,  # int8 [C, P]

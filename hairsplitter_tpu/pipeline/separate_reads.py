@@ -409,6 +409,9 @@ def separate_reads_for_contig(
     spans = np.asarray(read_spans, dtype=np.int64).reshape(n_rows, 2)
     pos_arr = np.array([c.pos for c in columns], dtype=np.int64)
 
+    # phase A (host, cheap): window descriptors — bounds, in-window SNPs,
+    # span masks, and seed labelings
+    descs: list[tuple[int, int, int, np.ndarray]] = []  # (start, end, upper, in_win)
     chunk = -1
     while (chunk + 1) * window + 100 <= length or chunk < 0:
         chunk += 1
@@ -425,7 +428,6 @@ def separate_reads_for_contig(
         )
         # 20% margins on terminal windows (:1594-1612)
         if chunk == 0 and in_win.size > 1:
-            w = upper - 1 - start if upper - 1 > start else window
             keep = pos_arr[in_win] >= start + 0.2 * window
             if keep.sum() >= 1 and (~keep).any():
                 first_keep = np.nonzero(keep)[0]
@@ -435,8 +437,67 @@ def separate_reads_for_contig(
             if keep.sum() >= 1 and (~keep).any():
                 last_keep = np.nonzero(keep)[0]
                 in_win = in_win[: last_keep[-1] + 1]
+        descs.append((start, end, upper, in_win))
+        if upper == length + 1:
+            break
 
+    win_data: list[tuple[np.ndarray, list[np.ndarray]] | None] = []
+    for start, end, upper, in_win in descs:
         if in_win.size == 0:
+            win_data.append(None)
+            continue
+        first_col = columns[int(in_win[0])]
+        last_col = columns[int(in_win[-1])]
+        mask = np.zeros(n_rows, dtype=bool)
+        mask[first_col.rows] = True
+        last_set = np.zeros(n_rows, dtype=bool)
+        last_set[last_col.rows] = True
+        mask &= last_set
+        seeds = []
+        lastpos = -10 - cfg.seed_snp_spacing
+        for s in in_win:
+            col = columns[int(s)]
+            if col.pos <= lastpos + cfg.seed_snp_spacing:
+                continue
+            lastpos = col.pos
+            seeds.append(_seed_from_column(col, mask, n_rows))
+        win_data.append((mask, seeds))
+
+    # phase B (device): read graph + all seeded CW for ALL windows in one
+    # call — sim/diff are contig-level so only masks/seeds vary per window.
+    # This is the production device step the multi-chip mesh shards
+    # (ops/phase.py); one dispatch+pull per contig instead of per window.
+    batched: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if cfg.device_cw_resolved():
+        idxs = [i for i, wd in enumerate(win_data) if wd is not None and wd[1]]
+        if idxs:
+            from ..ops.phase import phase_windows_jit
+
+            # static-shape buckets on windows, nodes, and seeds: padded
+            # windows/nodes have no edges and mask False, padded seeds -2
+            nb = pow2_bucket(n_rows)
+            kb = pow2_bucket(max(len(win_data[i][1]) for i in idxs), minimum=8)
+            wb = pow2_bucket(len(idxs), minimum=1)
+            masks_p = np.zeros((wb, nb), dtype=bool)
+            inits_p = np.full((wb, kb, nb), -2, dtype=np.int32)
+            for bi, i in enumerate(idxs):
+                mask, seeds = win_data[i]
+                masks_p[bi, :n_rows] = mask
+                arr = np.stack(seeds).astype(np.int32)
+                inits_p[bi, : arr.shape[0], :n_rows] = arr
+            sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
+            diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)
+            adj_d, labs_d = phase_windows_jit(
+                sim_p, diff_p, masks_p, inits_p, np.float32(cv.error_rate)
+            )
+            adj_all = np.asarray(adj_d)
+            labs_all = np.asarray(labs_d)
+            for bi, i in enumerate(idxs):
+                batched[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
+
+    # phase C (host): per-window cluster post-processing, original order
+    for wi, (start, end, upper, in_win) in enumerate(descs):
+        if win_data[wi] is None:
             # no SNP: everyone covering the middle point joins group 0
             labels = np.full(n_rows, -2, dtype=np.int64)
             mid = (start + end) // 2
@@ -446,43 +507,9 @@ def separate_reads_for_contig(
             labels[covering] = 0
             out.windows.append(WindowGroups(start, end, labels))
             continue
-
-        first_col = columns[int(in_win[0])]
-        last_col = columns[int(in_win[-1])]
-        mask = np.zeros(n_rows, dtype=bool)
-        mask[first_col.rows] = True
-        last_set = np.zeros(n_rows, dtype=bool)
-        last_set[last_col.rows] = True
-        mask &= last_set
-
-        seeds = []
-        lastpos = -10 - cfg.seed_snp_spacing
-        for s in in_win:
-            col = columns[int(s)]
-            if col.pos <= lastpos + cfg.seed_snp_spacing:
-                continue
-            lastpos = col.pos
-            seeds.append(_seed_from_column(col, mask, n_rows))
-        if cfg.device_cw_resolved() and seeds:
-            # the production device window step — read graph + all seeded CW
-            # runs in one call; this is the exact function the multi-chip
-            # mesh shards (ops/phase.py, parallel/mesh.py)
-            from ..ops.phase import phase_window_jit
-
-            inits = np.stack(seeds).astype(np.int32)
-            # static-shape buckets on nodes and seeds: padded nodes have no
-            # edges and mask False (labels stay -2), padded seeds are sliced
-            nb = pow2_bucket(n_rows)
-            kb = pow2_bucket(inits.shape[0], minimum=8)
-            sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
-            diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)
-            mask_p = pad_axis(mask, 0, nb, False)
-            inits_p = pad_axis(pad_axis(inits, 1, nb, -2), 0, kb, -2)
-            adj_d, labs = phase_window_jit(
-                sim_p, diff_p, mask_p, inits_p, np.float32(cv.error_rate)
-            )
-            adj = np.asarray(adj_d)[:n_rows, :n_rows]
-            labs = np.asarray(labs)
+        mask, seeds = win_data[wi]
+        if wi in batched:
+            adj, labs = batched[wi]
             local = [labs[k, :n_rows].astype(np.int64) for k in range(len(seeds))]
         else:
             adj = build_read_graph(mask, sim, diff, cv.error_rate)
@@ -503,8 +530,6 @@ def separate_reads_for_contig(
         if max_haplotypes > 0:
             labels = merge_to_ploidy(labels, adj, max_haplotypes)
         out.windows.append(WindowGroups(start, end, labels))
-        if upper == length + 1:
-            break
     return out
 
 

@@ -78,16 +78,17 @@ def test_phase_shard_step_matches_unsharded():
 
 def test_pipeline_window_uses_mesh_code():
     """The pipeline's device window step is the function the mesh shards."""
-    from hairsplitter_tpu.ops.phase import phase_window_jit
+    from hairsplitter_tpu.ops.phase import phase_windows_jit
     from hairsplitter_tpu.pipeline import separate_reads as sr
 
     assert sr.SeparateConfig(use_device_cw=True).device_cw_resolved()
-    # source-level wiring: the device branch calls ops.phase.phase_window_jit
+    # source-level wiring: the device branch calls ops.phase.phase_windows_jit
+    # (the vmapped batch over phase_window_core, which the mesh also shards)
     import inspect
 
     src = inspect.getsource(sr.separate_reads_for_contig)
-    assert "phase_window_jit" in src
-    assert phase_window_jit is not None
+    assert "phase_windows_jit" in src
+    assert phase_windows_jit is not None
 
 
 def test_graft_entry_points():
