@@ -240,7 +240,10 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     spec = cfg.spec
     B, T = spec.chunk, spec.t_width
     results: list[dict] = [None] * len(jobs)
-    bucket = cfg.batch
+    # two fixed shapes only (compiles are expensive through the tunnel): the
+    # big production bucket, and a small one so consensus-polish remaps of a
+    # single read group don't pay a full-size kernel + pull
+    bucket = cfg.batch if len(jobs) > 256 else min(256, cfg.batch)
     pending = []
     for lo in range(0, len(jobs), bucket):
         sub = jobs[lo : lo + bucket]

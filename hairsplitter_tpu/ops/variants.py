@@ -51,12 +51,11 @@ def column_stats(tri: jnp.ndarray):
     return topi.reshape(P, 3), topc.reshape(P, 3), coverage
 
 
-@partial(jax.jit, static_argnames=())
 def suspect_mask(
-    top_codes: jnp.ndarray,  # int32 [P, 3]
-    top_counts: jnp.ndarray,  # int32 [P, 3]
-    min_reads: jnp.ndarray,  # scalar int32 (5; 3 for HiFi)
-    auto_frac: jnp.ndarray,  # scalar f32 (the -u rescue threshold, default 0.33)
+    top_codes,  # int32 [P, 3]
+    top_counts,  # int32 [P, 3]
+    min_reads,  # scalar int32 (5; 3 for HiFi)
+    auto_frac,  # scalar f32 (the -u rescue threshold, default 0.33)
 ):
     """Suspect / automatic column masks (reference rules, clean trimer decode).
 
@@ -64,7 +63,13 @@ def suspect_mask(
     floor, 5x above the third allele, central bases differ, and no deletion
     allele whose two context bases both equal the majority central base
     (indel-adjacent-to-homopolymer guard). Spacing (>5 bp from the previous
-    SNP) is enforced by the host, which sees columns in order."""
+    SNP) is enforced by the host, which sees columns in order.
+
+    Pure elementwise math on tiny [P,3] arrays — runs in numpy on host: a
+    device round-trip per window block costs far more than the math (two
+    pulls per block through the tunnel showed up as ~half of stage 3)."""
+    top_codes = np.asarray(top_codes)
+    top_counts = np.asarray(top_counts)
     c1, c2, c3 = top_counts[:, 0], top_counts[:, 1], top_counts[:, 2]
     t1, t2 = top_codes[:, 0], top_codes[:, 1]
     central1, central2 = t1 // 25, t2 // 25
@@ -78,7 +83,7 @@ def suspect_mask(
         & (central1 != central2)
         & not_homopolymer_indel
     )
-    automatic = suspect & (c2.astype(jnp.float32) > auto_frac * c1.astype(jnp.float32))
+    automatic = suspect & (c2.astype(np.float32) > np.float32(auto_frac) * c1.astype(np.float32))
     return suspect, automatic
 
 

@@ -13,6 +13,7 @@ correlation, and clusters are scored with the reference's binomial p-value
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 
@@ -302,26 +303,60 @@ def prepare_contig(
         mismatches=0,
         cells=0,
     )
+    # static-shape bucket on the ragged read axis: one compile per bucket,
+    # not per distinct read count (absent-trimer rows are no-ops); below the
+    # bucket floor the numpy twins win over device dispatch latency.  All
+    # device-eligible blocks go in ONE batched call (one dispatch + one pull
+    # per contig instead of two per block — the per-pull sync dominates on a
+    # tunneled chip).
+    codes_ws: list[np.ndarray] = []
     for blk in blocks:
         codes_w = np.full(cfg.window, 5, dtype=np.int8)
         codes_w[: blk.length] = contig_codes[blk.start : blk.start + blk.length]
-        # static-shape bucket on the ragged read axis: one compile per bucket,
-        # not per distinct read count (absent-trimer rows are no-ops); below
-        # the bucket floor the numpy twins win over device dispatch latency
-        rb = pow2_bucket(blk.tri.shape[0], minimum=32)
-        if rb >= cfg.device_min_rows:
-            tri = pad_axis(blk.tri, 0, rb, TRIMER_ABSENT)
-            tc, tn, cov = column_stats(tri)
-            mm, cc = window_error_stats(tri, codes_w)
+        codes_ws.append(codes_w)
+    buckets = [pow2_bucket(blk.tri.shape[0], minimum=32) for blk in blocks]
+    dev_idx = [i for i, rb in enumerate(buckets) if rb >= cfg.device_min_rows]
+    results: dict[int, tuple] = {}
+    if dev_idx:
+        rbmax = max(buckets[i] for i in dev_idx)
+        tri_p = np.stack(
+            [pad_axis(blocks[i].tri, 0, rbmax, TRIMER_ABSENT) for i in dev_idx]
+        )
+        codes_p = np.stack([codes_ws[i] for i in dev_idx])
+        tc_b, tn_b, cov_b, mm_b, cc_b = _window_stats_batch(tri_p, codes_p)
+        tc_b, tn_b, cov_b, mm_b, cc_b = (
+            np.asarray(a) for a in (tc_b, tn_b, cov_b, mm_b, cc_b)
+        )
+        for bi, i in enumerate(dev_idx):
+            results[i] = (tc_b[bi], tn_b[bi], cov_b[bi], mm_b[bi], cc_b[bi])
+    for i, blk in enumerate(blocks):
+        if i in results:
+            tc, tn, cov, mm, cc = results[i]
         else:
             from ..ops.variants import column_stats_host, window_error_stats_host
 
             tc, tn, cov = column_stats_host(blk.tri)
-            mm, cc = window_error_stats_host(blk.tri, codes_w)
+            mm, cc = window_error_stats_host(blk.tri, codes_ws[i])
         prep.mismatches += int(mm)
         prep.cells += int(cc)
         prep.win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))
     return prep
+
+
+@functools.lru_cache(maxsize=None)
+def _window_stats_batch_fn():
+    import jax
+
+    def one(tri, codes_w):
+        tc, tn, cov = column_stats(tri)
+        mm, cc = window_error_stats(tri, codes_w)
+        return tc, tn, cov, mm, cc
+
+    return jax.jit(jax.vmap(one))
+
+
+def _window_stats_batch(tri_p, codes_p):
+    return _window_stats_batch_fn()(tri_p, codes_p)
 
 
 def call_variants_from_prep(
