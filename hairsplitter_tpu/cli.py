@@ -76,6 +76,13 @@ def parse_args(argv=None):
         "-d", "--debug", action="store_true",
         help="keep all tmp/ artifacts (implies --no_clean) for debugging",
     )
+    p.add_argument(
+        "--profile",
+        default="",
+        metavar="DIR",
+        help="capture a JAX profiler trace of the whole run into DIR "
+        "(view with TensorBoard / xprof)",
+    )
     p.add_argument("-v", "--version", action="version", version=__version__)
     return p.parse_args(argv)
 
@@ -109,7 +116,16 @@ def main(argv=None):
         debug=args.debug,
         threads=args.threads,
     )
-    run_pipeline(args.assembly, args.fastq, args.output, cfg)
+    if args.profile:
+        # SURVEY §5 tracing: device-op profiling via the JAX profiler (the
+        # reference has only ad-hoc timers; per-stage throughput counters
+        # are in hairsplitter.log either way)
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            run_pipeline(args.assembly, args.fastq, args.output, cfg)
+    else:
+        run_pipeline(args.assembly, args.fastq, args.output, cfg)
     return 0
 
 
