@@ -477,23 +477,31 @@ def separate_reads_for_contig(
             # windows/nodes have no edges and mask False, padded seeds -2
             nb = pow2_bucket(n_rows)
             kb = pow2_bucket(max(len(win_data[i][1]) for i in idxs), minimum=8)
-            wb = pow2_bucket(len(idxs), minimum=1)
-            masks_p = np.zeros((wb, nb), dtype=bool)
-            inits_p = np.full((wb, kb, nb), -2, dtype=np.int32)
-            for bi, i in enumerate(idxs):
-                mask, seeds = win_data[i]
-                masks_p[bi, :n_rows] = mask
-                arr = np.stack(seeds).astype(np.int32)
-                inits_p[bi, : arr.shape[0], :n_rows] = arr
+            # the batched CW materializes ~windows*K*R^2 floats: bound the
+            # window group so activations stay ~<=1.5 GB (a 300 kb contig at
+            # high coverage would otherwise ask for tens of GB); every group
+            # shares one padded shape -> still a single compile
+            budget = 1_500_000_000
+            per_window = 4 * kb * nb * nb
+            wb = max(1, min(len(idxs), budget // max(per_window, 1)))
             sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
             diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)
-            adj_d, labs_d = phase_windows_jit(
-                sim_p, diff_p, masks_p, inits_p, np.float32(cv.error_rate)
-            )
-            adj_all = np.asarray(adj_d)
-            labs_all = np.asarray(labs_d)
-            for bi, i in enumerate(idxs):
-                batched[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
+            for lo in range(0, len(idxs), wb):
+                grp = idxs[lo : lo + wb]
+                masks_p = np.zeros((wb, nb), dtype=bool)
+                inits_p = np.full((wb, kb, nb), -2, dtype=np.int32)
+                for bi, i in enumerate(grp):
+                    mask, seeds = win_data[i]
+                    masks_p[bi, :n_rows] = mask
+                    arr = np.stack(seeds).astype(np.int32)
+                    inits_p[bi, : arr.shape[0], :n_rows] = arr
+                adj_d, labs_d = phase_windows_jit(
+                    sim_p, diff_p, masks_p, inits_p, np.float32(cv.error_rate)
+                )
+                adj_all = np.asarray(adj_d)
+                labs_all = np.asarray(labs_d)
+                for bi, i in enumerate(grp):
+                    batched[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
 
     # phase C (host): per-window cluster post-processing, original order
     for wi, (start, end, upper, in_win) in enumerate(descs):
