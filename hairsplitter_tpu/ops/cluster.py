@@ -91,13 +91,17 @@ def chinese_whispers_multi(
     mask: jnp.ndarray,  # bool [R]
     n_iters: int = 30,
 ):
-    """All per-SNP-seeded CW runs of one window as a single device call
-    (vmapped over seeds; the adjacency is shared). This is the batched MXU
-    path for the reference's per-SNP clustering loop
-    (`src/separate_reads.cpp:1674-1705`)."""
-    return jax.vmap(
-        lambda init: chinese_whispers_matmul(adj, init, mask, n_iters=n_iters)
-    )(inits)
+    """All per-SNP-seeded CW runs of one window as a single device call.
+    This is the batched MXU path for the reference's per-SNP clustering loop
+    (`src/separate_reads.cpp:1674-1705`). Seeds run under `lax.map` rather
+    than vmap: each CW sweep holds an [R, R] vote matrix, so a vmapped seed
+    axis multiplies activation memory by K (and by the window count when the
+    caller vmaps over windows) — sequential seeds keep memory at one vote
+    matrix per window while outer window batching supplies the
+    parallelism."""
+    return jax.lax.map(
+        lambda init: chinese_whispers_matmul(adj, init, mask, n_iters=n_iters), inits
+    )
 
 
 def cw_numpy(

@@ -477,12 +477,12 @@ def separate_reads_for_contig(
             # windows/nodes have no edges and mask False, padded seeds -2
             nb = pow2_bucket(n_rows)
             kb = pow2_bucket(max(len(win_data[i][1]) for i in idxs), minimum=8)
-            # the batched CW materializes ~windows*K*R^2 floats: bound the
-            # window group so activations stay ~<=1.5 GB (a 300 kb contig at
-            # high coverage would otherwise ask for tens of GB); every group
-            # shares one padded shape -> still a single compile
+            # the batched CW holds ~one [R, R] f32 vote matrix per window
+            # (seeds are lax.map-sequential inside chinese_whispers_multi):
+            # bound the window group so activations stay ~<=1.5 GB; every
+            # group shares one padded shape -> still a single compile
             budget = 1_500_000_000
-            per_window = 4 * kb * nb * nb
+            per_window = 4 * 6 * nb * nb  # ~6 live [R,R] f32 buffers/window
             wb = max(1, min(len(idxs), budget // max(per_window, 1)))
             sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
             diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)

@@ -136,3 +136,18 @@ def test_solve_with_interactions_no_signal_leaves_graph_alone():
     rep = solve_with_interactions(g, names, np.zeros((len(names), len(names))))
     assert rep.contigs_duplicated == 0
     assert "S" in g.segments
+
+
+def test_find_anchor_contigs_modes():
+    from hairsplitter_tpu.pipeline.hic_solve import find_anchor_contigs
+
+    g = _diamond(depth_mid=20)
+    # confident coverage: the 2x-depth middle contig is not an anchor
+    anchors = find_anchor_contigs(g, confident_coverage=True)
+    assert set("ABCD") <= set(anchors)
+    assert "S" not in anchors
+    # without coverage confidence: topology only (<=1 link per side) — the
+    # middle contig has 2 links per side and is excluded either way
+    anchors2 = find_anchor_contigs(g, confident_coverage=False)
+    assert set("ABCD") <= set(anchors2)
+    assert "S" not in anchors2
