@@ -107,6 +107,18 @@ def phase_window_jit(sim, diff, mask, inits, err, n_iters: int = 30):
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
+def phase_windows_sub_jit(sims, diffs, masks, inits, err, n_iters: int = 30):
+    """Row-compacted window batch: each window carries only the reads that
+    span it (sims/diffs [W, r, r] gathered per window on host), so the CW
+    vote matmuls are r x r instead of R x R. At long-read coverage r is
+    ~1-3% of a 300 kb contig's read count — the dense full-matrix batch was
+    paying the squared difference."""
+    return jax.vmap(
+        lambda s, d, m, i: phase_window_core(s, d, m, i, err, n_iters)
+    )(sims, diffs, masks, inits)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
 def phase_windows_jit(sim, diff, masks, inits, err, n_iters: int = 30):
     """Every window of one contig in ONE device call: `sim`/`diff` are
     contig-level (window-independent, shared across the vmap), only the span

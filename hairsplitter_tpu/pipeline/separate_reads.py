@@ -471,37 +471,23 @@ def separate_reads_for_contig(
     if cfg.device_cw_resolved():
         idxs = [i for i, wd in enumerate(win_data) if wd is not None and wd[1]]
         if idxs:
-            from ..ops.phase import phase_windows_jit
-
-            # static-shape buckets on windows, nodes, and seeds: padded
-            # windows/nodes have no edges and mask False, padded seeds -2
-            nb = pow2_bucket(n_rows)
             kb = pow2_bucket(max(len(win_data[i][1]) for i in idxs), minimum=8)
-            # the batched CW holds ~one [R, R] f32 vote matrix per window
-            # (seeds are lax.map-sequential inside chinese_whispers_multi):
-            # bound the window group so activations stay ~<=1.5 GB; every
-            # group shares one padded shape -> still a single compile
-            budget = 1_500_000_000
-            per_window = 4 * 6 * nb * nb  # ~6 live [R,R] f32 buffers/window
-            wb = max(1, min(len(idxs), budget // max(per_window, 1)))
-            sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
-            diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)
-            for lo in range(0, len(idxs), wb):
-                grp = idxs[lo : lo + wb]
-                masks_p = np.zeros((wb, nb), dtype=bool)
-                inits_p = np.full((wb, kb, nb), -2, dtype=np.int32)
-                for bi, i in enumerate(grp):
-                    mask, seeds = win_data[i]
-                    masks_p[bi, :n_rows] = mask
-                    arr = np.stack(seeds).astype(np.int32)
-                    inits_p[bi, : arr.shape[0], :n_rows] = arr
-                adj_d, labs_d = phase_windows_jit(
-                    sim_p, diff_p, masks_p, inits_p, np.float32(cv.error_rate)
+            # row compaction: a window only involves the reads spanning it
+            # (~coverage, not the contig's whole read set), so gather each
+            # window's sim/diff submatrix and run the CW vote matmuls at
+            # r x r instead of R x R — at long-read coverage this is a
+            # ~100-1000x FLOP cut on 300 kb contigs
+            rows_of = {i: np.nonzero(win_data[i][0])[0] for i in idxs}
+            nwb = pow2_bucket(max(rows_of[i].size for i in idxs), minimum=32)
+            nb = pow2_bucket(n_rows)
+            if nwb < nb:
+                batched = _phase_windows_compact(
+                    idxs, win_data, rows_of, sim, diff, cv.error_rate, n_rows, nwb, kb
                 )
-                adj_all = np.asarray(adj_d)
-                labs_all = np.asarray(labs_d)
-                for bi, i in enumerate(grp):
-                    batched[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
+            else:
+                batched = _phase_windows_full(
+                    idxs, win_data, sim, diff, cv.error_rate, n_rows, nb, kb
+                )
 
     # phase C (host): per-window cluster post-processing, original order
     for wi, (start, end, upper, in_win) in enumerate(descs):
@@ -538,6 +524,90 @@ def separate_reads_for_contig(
         if max_haplotypes > 0:
             labels = merge_to_ploidy(labels, adj, max_haplotypes)
         out.windows.append(WindowGroups(start, end, labels))
+    return out
+
+
+def _phase_windows_compact(
+    idxs, win_data, rows_of, sim, diff, error_rate, n_rows, nwb, kb
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Device phasing of all windows with per-window row compaction.
+    Returns {window index: (full-size adj, labels [K, n_rows])} scattered
+    back from the compact coordinates. Equivalent to the full-matrix path
+    (padded rows carry mask False and no edges); only argmax tie-breaks can
+    resolve differently, because the CW jitter is index-keyed."""
+    from ..ops.phase import phase_windows_sub_jit
+
+    wb = pow2_bucket(len(idxs), minimum=1)
+    sims_p = np.zeros((wb, nwb, nwb), dtype=np.int32)
+    diffs_p = np.zeros((wb, nwb, nwb), dtype=np.int32)
+    masks_p = np.zeros((wb, nwb), dtype=bool)
+    inits_p = np.full((wb, kb, nwb), -2, dtype=np.int32)
+    for bi, i in enumerate(idxs):
+        rows = rows_of[i]
+        r = rows.size
+        sub = np.ix_(rows, rows)
+        sims_p[bi, :r, :r] = sim[sub]
+        diffs_p[bi, :r, :r] = diff[sub]
+        masks_p[bi, :r] = True
+        _, seeds = win_data[i]
+        # seed label values are contig row ids of masked rows: remap both
+        # positions and values into compact window coordinates
+        inv = np.full(n_rows, -1, dtype=np.int32)
+        inv[rows] = np.arange(r, dtype=np.int32)
+        arr = np.stack(seeds).astype(np.int64)[:, rows]
+        arr = inv[np.clip(arr, 0, n_rows - 1)]
+        inits_p[bi, : arr.shape[0], :r] = arr
+    adj_d, labs_d = phase_windows_sub_jit(
+        sims_p, diffs_p, masks_p, inits_p, np.float32(error_rate)
+    )
+    adj_all = np.asarray(adj_d)
+    labs_all = np.asarray(labs_d)
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for bi, i in enumerate(idxs):
+        rows = rows_of[i]
+        r = rows.size
+        adj = np.zeros((n_rows, n_rows), dtype=np.int8)
+        adj[np.ix_(rows, rows)] = adj_all[bi, :r, :r]
+        labs = np.full((labs_all.shape[1], n_rows), -2, dtype=labs_all.dtype)
+        labs[:, rows] = labs_all[bi, :, :r]
+        # compact labels are row indices in window coordinates; map back to
+        # contig row ids so seeded labels stay distinct across windows
+        pos = labs[:, rows]
+        labs[:, rows] = np.where(pos >= 0, rows[np.clip(pos, 0, r - 1)], pos)
+        out[i] = (adj, labs)
+    return out
+
+
+def _phase_windows_full(
+    idxs, win_data, sim, diff, error_rate, n_rows, nb, kb
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Dense fallback when windows span most of the contig's reads (e.g.
+    amplicon whole-contig windows): shared full sim/diff, window groups
+    bounded to ~1.5 GB of live [R, R] vote buffers."""
+    from ..ops.phase import phase_windows_jit
+
+    budget = 1_500_000_000
+    per_window = 4 * 6 * nb * nb  # ~6 live [R,R] f32 buffers/window
+    wb = max(1, min(len(idxs), budget // max(per_window, 1)))
+    sim_p = pad_axis(pad_axis(sim.astype(np.int32), 0, nb, 0), 1, nb, 0)
+    diff_p = pad_axis(pad_axis(diff.astype(np.int32), 0, nb, 0), 1, nb, 0)
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for lo in range(0, len(idxs), wb):
+        grp = idxs[lo : lo + wb]
+        masks_p = np.zeros((wb, nb), dtype=bool)
+        inits_p = np.full((wb, kb, nb), -2, dtype=np.int32)
+        for bi, i in enumerate(grp):
+            mask, seeds = win_data[i]
+            masks_p[bi, :n_rows] = mask
+            arr = np.stack(seeds).astype(np.int32)
+            inits_p[bi, : arr.shape[0], :n_rows] = arr
+        adj_d, labs_d = phase_windows_jit(
+            sim_p, diff_p, masks_p, inits_p, np.float32(error_rate)
+        )
+        adj_all = np.asarray(adj_d)
+        labs_all = np.asarray(labs_d)
+        for bi, i in enumerate(grp):
+            out[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
     return out
 
 

@@ -87,7 +87,9 @@ def test_pipeline_window_uses_mesh_code():
     import inspect
 
     src = inspect.getsource(sr.separate_reads_for_contig)
-    assert "phase_windows_jit" in src
+    assert "_phase_windows_compact" in src and "_phase_windows_full" in src
+    assert "phase_windows_sub_jit" in inspect.getsource(sr._phase_windows_compact)
+    assert "phase_windows_jit" in inspect.getsource(sr._phase_windows_full)
     assert phase_windows_jit is not None
 
 
