@@ -204,13 +204,11 @@ def merge_clusterings(
     n = mask.size
     if not local:
         return np.where(mask, 0, -2)
-    sig_to_label: dict[tuple, int] = {}
-    agg = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        sig = tuple(int(lc[i]) for lc in local)
-        if sig not in sig_to_label:
-            sig_to_label[sig] = i  # label by first row with this signature
-        agg[i] = sig_to_label[sig]
+    # label each row by the first row sharing its full signature (vectorized
+    # unique-columns; np.unique returns first-occurrence indices)
+    sigs = np.stack(local)  # [K, n]
+    _, first_idx, inv = np.unique(sigs, axis=1, return_index=True, return_inverse=True)
+    agg = first_idx[inv].astype(np.int64)
     agg[~mask] = -2
     return run_cw(adj, agg, mask)
 
