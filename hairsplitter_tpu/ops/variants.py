@@ -125,3 +125,97 @@ def window_error_stats_host(tri: np.ndarray, contig_codes: np.ndarray):
     central = tri.astype(np.int32) // 25
     mism = present & (central != contig_codes[None, :].astype(np.int32))
     return int(mism.sum()), int(present.sum())
+
+
+def _chi2_dev(n00, n01, n10, n11):
+    """jnp twin of `pipeline.call_variants._chi2_tables` (f32; equality
+    edge-cases — exact 0/1 margins — are ratio-of-small-int exact in f32
+    too, so the degenerate mask matches the f64 host path)."""
+    n = n00 + n01 + n10 + n11
+    nn = jnp.maximum(n, 1.0)
+    p1 = (n10 + n11) / nn
+    p2 = (n01 + n11) / nn
+    e00 = (1 - p1) * (1 - p2) * n
+    e01 = (1 - p1) * p2 * n
+    e10 = p1 * (1 - p2) * n
+    e11 = p1 * p2 * n
+    chi = (
+        jnp.where(e00 > 0, (n00 - e00) ** 2 / jnp.maximum(e00, 1e-9), 0.0)
+        + jnp.where(e01 > 0, (n01 - e01) ** 2 / jnp.maximum(e01, 1e-9), 0.0)
+        + jnp.where(e10 > 0, (n10 - e10) ** 2 / jnp.maximum(e10, 1e-9), 0.0)
+        + jnp.where(e11 > 0, (n11 - e11) ** 2 / jnp.maximum(e11, 1e-9), 0.0)
+    )
+    degenerate = (p1 * (1 - p1) == 0) | (p2 * (1 - p2) == 0)
+    return jnp.where((n == 0) | degenerate, 0.0, chi)
+
+
+def _pack_bool(b):
+    """bool [..., M] -> uint8 [..., M//8] (little-endian bit order)."""
+    m = b.shape[-1]
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return (
+        (b.reshape(*b.shape[:-1], m // 8, 8).astype(jnp.int32) * w)
+        .sum(-1)
+        .astype(jnp.uint8)
+    )
+
+
+@jax.jit
+def pairwise_column_correlation(A, Rf, pos, chi2_keep, max_span):
+    """Device pairwise column-correlation step of the robust filter
+    (reference `keep_only_robust_variants` distance/chi2 scan,
+    `src/call_variants.cpp:577-768`): the four S x S contingency matmuls,
+    allele-flip phasing, Pearson chi2, balanced-margin and span gates — on
+    the MXU, shipping home two packed bit matrices (corr, flip) instead of
+    S x S floats. Padded columns have zero indicator rows -> corr False."""
+    n11 = A @ A.T
+    n10 = A @ Rf.T
+    n01 = Rf @ A.T
+    n00 = Rf @ Rf.T
+    flip = (n11 + n00) < (n10 + n01)
+    f11 = jnp.where(flip, n10, n11)
+    f10 = jnp.where(flip, n11, n10)
+    f01 = jnp.where(flip, n00, n01)
+    f00 = jnp.where(flip, n01, n00)
+    chi = _chi2_dev(f00, f01, f10, f11)
+    comparable = n00 + n01 + n10 + n11
+    m1 = f10 + f11
+    m2 = f01 + f11
+    balanced = (
+        (m1 > 0.1 * comparable)
+        & (m1 < 0.9 * comparable)
+        & (m2 > 0.1 * comparable)
+        & (m2 < 0.9 * comparable)
+    )
+    near = jnp.abs(pos[:, None] - pos[None, :]) <= max_span
+    s = A.shape[0]
+    eye = jnp.eye(s, dtype=bool)
+    corr = (chi > chi2_keep) & balanced & near & ~eye
+    return _pack_bool(corr), _pack_bool(flip)
+
+
+@jax.jit
+def partition_column_keep(P1, P0, A, Rf, col_size, chi2_keep):
+    """Device final-keep scan: suspect columns correlating with any kept
+    partition (chi2 > keep threshold over >half the column's reads),
+    reference re-scan at `call_variants.cpp:756`. Returns packed bool [S/8]."""
+    k11 = P1 @ A.T
+    k10 = P1 @ Rf.T
+    k01 = P0 @ A.T
+    k00 = P0 @ Rf.T
+    chi = _chi2_dev(k00, k01, k10, k11)
+    enough = (k00 + k01 + k10 + k11) > 0.5 * col_size[None, :]
+    return _pack_bool(((chi > chi2_keep) & enough).any(axis=0))
+
+
+@jax.jit
+def partition_rescue_keep(P1, P0, Ar, Rr, chi2_rescue):
+    """Device rescue scan (chi2 > rescue threshold with >4 reads on both
+    margin sides, reference rescue of near-suspect columns). Packed bool."""
+    r11 = P1 @ Ar.T
+    r10 = P1 @ Rr.T
+    r01 = P0 @ Ar.T
+    r00 = P0 @ Rr.T
+    chi = _chi2_dev(r00, r01, r10, r11)
+    ok = (chi > chi2_rescue) & (r10 + r00 > 4) & (r01 + r11 > 4)
+    return _pack_bool(ok.any(axis=0))

@@ -67,6 +67,17 @@ class VariantCallConfig:
     device_min_rows: int = 256
 
 
+def _accel_available() -> bool:
+    """True when an accelerator backend is live (the device chi2 path pays
+    off; the CPU backend keeps the exact-f64 numpy path)."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def _chi2_tables(n00, n01, n10, n11):
     """Vectorized Pearson chi² on 2x2 tables (reference `computeChiSquare`,
     `src/call_variants.cpp:1135-1163`): 0 when one margin is degenerate."""
@@ -128,29 +139,47 @@ def robust_filter(
     for s, c in enumerate(columns):
         A[s, c.rows[c.alleles == c.top2]] = 1.0
         Rf[s, c.rows[c.alleles == c.top1]] = 1.0
-    n11 = A @ A.T
-    n10 = A @ Rf.T
-    n01 = Rf @ A.T
-    n00 = Rf @ Rf.T
-    # phase: anti-correlated columns compare allele-flipped
-    flip = (n11 + n00) < (n10 + n01)
-    f11 = np.where(flip, n10, n11)
-    f10 = np.where(flip, n11, n10)
-    f01 = np.where(flip, n00, n01)
-    f00 = np.where(flip, n01, n00)
-    chi = _chi2_tables(f00, f01, f10, f11)
-    comparable = n00 + n01 + n10 + n11
-    m1 = f10 + f11
-    m2 = f01 + f11
-    balanced = (
-        (m1 > 0.1 * comparable)
-        & (m1 < 0.9 * comparable)
-        & (m2 > 0.1 * comparable)
-        & (m2 < 0.9 * comparable)
-    )
-    near = np.abs(pos[:, None] - pos[None, :]) <= cfg.max_partition_span
-    corr = (chi > cfg.chi2_keep) & balanced & near
-    np.fill_diagonal(corr, False)
+    use_dev = S >= 512 and _accel_available()
+    if use_dev:
+        # the S x S contingency matmuls + chi2 gates on the MXU (packed
+        # boolean pulls); f32 chi2 vs the host f64 differs only at exact
+        # threshold boundaries
+        from ..ops.variants import pairwise_column_correlation
+
+        Sb = pow2_bucket(S, minimum=8)
+        nb = pow2_bucket(n_rows)
+        Ap = pad_axis(pad_axis(A, 0, Sb, 0.0), 1, nb, 0.0)
+        Rp = pad_axis(pad_axis(Rf, 0, Sb, 0.0), 1, nb, 0.0)
+        posp = pad_axis(pos.astype(np.int64), 0, Sb, np.int64(1) << 60)
+        corr_b, flip_b = pairwise_column_correlation(
+            Ap, Rp, posp, np.float32(cfg.chi2_keep), np.int64(cfg.max_partition_span)
+        )
+        corr = np.unpackbits(np.asarray(corr_b), axis=1, bitorder="little")[:S, :S].astype(bool)
+        flip = np.unpackbits(np.asarray(flip_b), axis=1, bitorder="little")[:S, :S].astype(bool)
+    else:
+        n11 = A @ A.T
+        n10 = A @ Rf.T
+        n01 = Rf @ A.T
+        n00 = Rf @ Rf.T
+        # phase: anti-correlated columns compare allele-flipped
+        flip = (n11 + n00) < (n10 + n01)
+        f11 = np.where(flip, n10, n11)
+        f10 = np.where(flip, n11, n10)
+        f01 = np.where(flip, n00, n01)
+        f00 = np.where(flip, n01, n00)
+        chi = _chi2_tables(f00, f01, f10, f11)
+        comparable = n00 + n01 + n10 + n11
+        m1 = f10 + f11
+        m2 = f01 + f11
+        balanced = (
+            (m1 > 0.1 * comparable)
+            & (m1 < 0.9 * comparable)
+            & (m2 > 0.1 * comparable)
+            & (m2 < 0.9 * comparable)
+        )
+        near = np.abs(pos[:, None] - pos[None, :]) <= cfg.max_partition_span
+        corr = (chi > cfg.chi2_keep) & balanced & near
+        np.fill_diagonal(corr, False)
 
     uf = _UnionFind(S)
     for s, t in zip(*np.nonzero(corr)):
@@ -223,18 +252,28 @@ def robust_filter(
     kept: list[SparseColumn] = []
     kept_pos: set[int] = set()
 
-    def _column_partition_tables(cols_A, cols_R):
-        k11 = P1 @ cols_A.T
-        k10 = P1 @ cols_R.T
-        k01 = P0 @ cols_A.T
-        k00 = P0 @ cols_R.T
-        return k00, k01, k10, k11
-
-    k00, k01, k10, k11 = _column_partition_tables(A, Rf)
-    chi_fin = _chi2_tables(k00, k01, k10, k11)  # [K, S]
     col_size = np.array([c.rows.size for c in columns])
-    enough = (k00 + k01 + k10 + k11) > 0.5 * col_size[None, :]
-    keep_col = ((chi_fin > cfg.chi2_keep) & enough).any(axis=0)
+    if use_dev:
+        from ..ops.variants import partition_column_keep
+
+        Kb = pow2_bucket(len(partitions), minimum=8)
+        nb = pow2_bucket(n_rows)
+        Sb = pow2_bucket(S, minimum=8)
+        P1p = pad_axis(pad_axis(P1, 0, Kb, 0.0), 1, nb, 0.0)
+        P0p = pad_axis(pad_axis(P0, 0, Kb, 0.0), 1, nb, 0.0)
+        Ap = pad_axis(pad_axis(A, 0, Sb, 0.0), 1, nb, 0.0)
+        Rp = pad_axis(pad_axis(Rf, 0, Sb, 0.0), 1, nb, 0.0)
+        csp = pad_axis(col_size.astype(np.float32), 0, Sb, np.float32(1e9))
+        bits = partition_column_keep(P1p, P0p, Ap, Rp, csp, np.float32(cfg.chi2_keep))
+        keep_col = np.unpackbits(np.asarray(bits), bitorder="little")[:S].astype(bool)
+    else:
+        k11 = P1 @ A.T
+        k10 = P1 @ Rf.T
+        k01 = P0 @ A.T
+        k00 = P0 @ Rf.T
+        chi_fin = _chi2_tables(k00, k01, k10, k11)  # [K, S]
+        enough = (k00 + k01 + k10 + k11) > 0.5 * col_size[None, :]
+        keep_col = ((chi_fin > cfg.chi2_keep) & enough).any(axis=0)
     for s in np.nonzero(keep_col)[0]:
         kept.append(columns[s])
         kept_pos.add(columns[s].pos)
@@ -246,14 +285,27 @@ def robust_filter(
         for s, c in enumerate(rescue_pool):
             Ar[s, c.rows[c.alleles == c.top2]] = 1.0
             Rr[s, c.rows[c.alleles == c.top1]] = 1.0
-        r11 = P1 @ Ar.T
-        r10 = P1 @ Rr.T
-        r01 = P0 @ Ar.T
-        r00 = P0 @ Rr.T
-        chi_r = _chi2_tables(r00, r01, r10, r11)
-        ok = (
-            (chi_r > cfg.chi2_rescue) & (r10 + r00 > 4) & (r01 + r11 > 4)
-        ).any(axis=0)
+        if use_dev and len(rescue_pool) >= 512:
+            from ..ops.variants import partition_rescue_keep
+
+            Kb = pow2_bucket(len(partitions), minimum=8)
+            nb = pow2_bucket(n_rows)
+            Srb = pow2_bucket(len(rescue_pool), minimum=8)
+            P1p = pad_axis(pad_axis(P1, 0, Kb, 0.0), 1, nb, 0.0)
+            P0p = pad_axis(pad_axis(P0, 0, Kb, 0.0), 1, nb, 0.0)
+            Arp = pad_axis(pad_axis(Ar, 0, Srb, 0.0), 1, nb, 0.0)
+            Rrp = pad_axis(pad_axis(Rr, 0, Srb, 0.0), 1, nb, 0.0)
+            bits = partition_rescue_keep(P1p, P0p, Arp, Rrp, np.float32(cfg.chi2_rescue))
+            ok = np.unpackbits(np.asarray(bits), bitorder="little")[: len(rescue_pool)].astype(bool)
+        else:
+            r11 = P1 @ Ar.T
+            r10 = P1 @ Rr.T
+            r01 = P0 @ Ar.T
+            r00 = P0 @ Rr.T
+            chi_r = _chi2_tables(r00, r01, r10, r11)
+            ok = (
+                (chi_r > cfg.chi2_rescue) & (r10 + r00 > 4) & (r01 + r11 > 4)
+            ).any(axis=0)
         for s in np.nonzero(ok)[0]:
             if rescue_pool[s].pos not in kept_pos:
                 kept.append(rescue_pool[s])
