@@ -194,14 +194,15 @@ def robust_filter(
     for members in clusters.values():
         members.sort(key=lambda s: columns[s].pos)
         anchor = members[0]
-        alt_votes = np.zeros(n_rows, dtype=np.int32)
-        ref_votes = np.zeros(n_rows, dtype=np.int32)
-        for s in members:
-            flipped = bool(flip[anchor, s]) if s != anchor else False
-            a_vec = Rf[s] if flipped else A[s]
-            r_vec = A[s] if flipped else Rf[s]
-            alt_votes += a_vec.astype(np.int32)
-            ref_votes += r_vec.astype(np.int32)
+        midx = np.asarray(members)
+        flips = flip[anchor, midx].copy()
+        flips[midx == anchor] = False
+        wa = (~flips).astype(np.float32)
+        wf = flips.astype(np.float32)
+        sub_a, sub_r = A[midx], Rf[midx]
+        # sums of 0/1 indicators: exact in f32
+        alt_votes = (wa @ sub_a + wf @ sub_r).astype(np.int32)
+        ref_votes = (wf @ sub_a + wa @ sub_r).astype(np.int32)
         consensus = np.zeros(n_rows, dtype=np.int8)
         consensus[alt_votes > ref_votes] = 1
         consensus[ref_votes > alt_votes] = -1
