@@ -47,10 +47,12 @@ class MapConfig:
     # kernel and ~10x faster on TPU (in-kernel rolling target window, no
     # plane materialisation); used automatically on non-CPU backends
     use_pallas: bool = True
-    # Myers bit-vector kernel (ops/align_myers_pallas.py): ~5x the device
-    # rate again (121 Gcells/s on v5e), bit-identical end to end, but its
-    # host-side value reconstruction currently costs more than the device
-    # saves on this 2-core host — opt-in until the adapter is nativized
+    # Myers bit-vector kernel (ops/align_myers_pallas.py): ~2x the int32
+    # Pallas DP rate on its own (raw cell rate), bit-identical end to end,
+    # with on-device reconstruction (myers_align_device). Still opt-in:
+    # reconstructing backpointers from the P/M delta streams in XLA costs
+    # more than the int32 kernel that emits traceback encodings in-kernel
+    # (emit_enc) — measured 20 ms vs 8 ms per 2048-bucket fused call on v5e
     use_myers: bool = False
     # run readout + traceback on device (ops/align_device.py): ships ~0.6 KB
     # of CIGAR ops per chunk instead of 8 KB of backpointers through the
@@ -177,7 +179,7 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     results: list[dict] = [None] * len(jobs)
     bucket = cfg.batch
     on_accel = jax.devices()[0].platform not in ("cpu",)
-    if on_accel and cfg.device_traceback and not cfg.use_myers:
+    if on_accel and cfg.device_traceback:
         return _run_jobs_device_tb(jobs, cfg)
     if on_accel:
         align_fn = _device_align_fn(spec, cfg.use_pallas)
@@ -199,7 +201,7 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        if cfg.use_myers and spec.band == 128:
+        if cfg.use_myers and spec.band == 128 and on_accel:
             from ..ops.align_myers import myers_to_align_result
             from ..ops.align_myers_pallas import myers_rows_pallas, words_from_device
 
@@ -232,10 +234,12 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
 
 
 def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
-    """Accelerator path: DP + readout + traceback in ONE device call per
-    bucket; every bucket is dispatched before the first result is pulled, so
-    device compute, the tunnel transfer, and host CIGAR assembly overlap."""
-    from ..ops.align_device import align_traceback_device
+    """Accelerator path: DP + readout + row-lockstep traceback in ONE device
+    call per bucket; every bucket is dispatched before the first result is
+    pulled, so device compute, the tunnel transfer, and host CIGAR assembly
+    overlap. The Myers bit-vector kernel is the default DP when the band is
+    its 128 (ops/align_myers_pallas.py:myers_align_device)."""
+    from ..ops.align_device import align_traceback_rows, expand_rows_host
 
     spec = cfg.spec
     B, T = spec.chunk, spec.t_width
@@ -244,6 +248,12 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     # big production bucket, and a small one so consensus-polish remaps of a
     # single read group don't pay a full-size kernel + pull
     bucket = cfg.batch if len(jobs) > 256 else min(256, cfg.batch)
+    if cfg.use_myers and spec.band == 128 and bucket % 32 == 0:
+        kernel = "myers"
+    elif cfg.use_pallas:
+        kernel = "pallas"
+    else:
+        kernel = "jnp"
     pending = []
     for lo in range(0, len(jobs), bucket):
         sub = jobs[lo : lo + bucket]
@@ -258,20 +268,18 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             qlens[i] = len(job.q)
             tlens[i] = len(job.t)
             modes[i] = job.mode
-        fused = align_traceback_device(
-            qb, qlens, tb, tlens, modes, spec, cfg.use_pallas
+        fused = align_traceback_rows(
+            qb, qlens, tb, tlens, modes, spec, kernel
         )  # async dispatch: nothing blocks until the pulls below
-        pending.append((lo, sub, fused))
-    from ..ops.align_device import split_fused
+        pending.append((lo, sub, fused, qb, tb))
 
-    for lo, sub, fused in pending:
-        ops_rev, meta = split_fused(fused)
+    for lo, sub, fused, qb, tb in pending:
+        ops_list, cost, clip = expand_rows_host(fused, qb, tb, spec)
         for i, job in enumerate(sub):
-            k = int(meta[i, 0])
-            ops = ops_rev[i, :k][::-1]
+            ops = ops_list[i]
             if job.reversed_:
                 ops = ops[::-1]
-            results[lo + i] = {"ops": ops, "cost": int(meta[i, 1]), "clip": int(meta[i, 2])}
+            results[lo + i] = {"ops": ops, "cost": int(cost[i]), "clip": int(clip[i])}
     return results
 
 

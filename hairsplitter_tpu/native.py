@@ -98,6 +98,20 @@ def get_lib():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.hs_expand_rows.restype = ctypes.c_int64
+    lib.hs_expand_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _LIB = lib
     return _LIB
 
@@ -196,6 +210,41 @@ def chain_sweep(q: np.ndarray, t: np.ndarray, max_gap: int, max_diag_diff: int):
         _ptr(breaks, ctypes.c_int64),
     )
     return breaks[:nb]
+
+
+def expand_rows(toks: np.ndarray, meta: np.ndarray, qb: np.ndarray, tb: np.ndarray, dl: int):
+    """Native twin of `ops.align_device.expand_rows_host`'s numpy decode
+    (bit-identical): per-row traceback tokens -> concatenated forward op
+    streams + N+1 prefix offsets. None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    toks = np.ascontiguousarray(toks, dtype=np.uint8)
+    meta = np.ascontiguousarray(meta, dtype=np.int32)
+    qb = np.ascontiguousarray(qb, dtype=np.int8)
+    tb = np.ascontiguousarray(tb, dtype=np.int8)
+    N, B = toks.shape
+    T = tb.shape[1]
+    # every walk is <= B rows + a <= t_width deletion tail (see traceback docs)
+    cap = N * (B + T + 1)
+    ops_out = np.empty(cap, dtype=np.int8)
+    offsets = np.empty(N + 1, dtype=np.int64)
+    total = lib.hs_expand_rows(
+        _ptr(toks, ctypes.c_uint8),
+        _ptr(meta, ctypes.c_int32),
+        _ptr(qb, ctypes.c_int8),
+        _ptr(tb, ctypes.c_int8),
+        N,
+        B,
+        T,
+        int(dl),
+        cap,
+        _ptr(ops_out, ctypes.c_int8),
+        _ptr(offsets, ctypes.c_int64),
+    )
+    if total < 0:
+        return None
+    return ops_out[:total], offsets
 
 
 def select_pins(qa: np.ndarray, ta: np.ndarray, B: int, T: int, md: int):

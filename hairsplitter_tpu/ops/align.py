@@ -175,6 +175,13 @@ def readout(
         use_col, t_lens - colmin_i + dl, np.where(is_ext, b_row, b_corner)
     )
     clip = np.where(use_col, q_lens - colmin_i, 0)
+    # unreachable end cell (e.g. global corner outside the band): emit an
+    # empty walk — a start at (0, dl) is immediately inactive. The mapper
+    # drops these alignments anyway (nm >= INF fails the divergence filter)
+    dead = cost >= INF
+    start_i = np.where(dead, 0, start_i)
+    start_b = np.where(dead, dl, start_b)
+    clip = np.where(dead, 0, clip)
     return cost.astype(np.int64), start_i.astype(np.int64), start_b.astype(np.int64), clip.astype(np.int64)
 
 

@@ -57,6 +57,11 @@ def readout_device(res: dict, q_lens, t_lens, modes, spec: BandSpec):
     start_i = jnp.where(use_col, colmin_i, q_lens)
     start_b = jnp.where(use_col, t_lens - colmin_i + dl, jnp.where(is_ext, b_row, b_corner))
     clip = jnp.where(use_col, q_lens - colmin_i, 0)
+    # unreachable end cell: empty walk (matches ops.align.readout)
+    dead = cost >= INF
+    start_i = jnp.where(dead, 0, start_i)
+    start_b = jnp.where(dead, dl, start_b)
+    clip = jnp.where(dead, 0, clip)
     return cost, start_i, start_b, clip
 
 
@@ -106,6 +111,178 @@ def traceback_device(bp, q, t, start_i, start_b, spec: BandSpec):
     ops = ops.T  # [N, max_steps], end-to-start order
     n_ops = jnp.sum(ops >= 0, axis=1).astype(jnp.int32)
     return ops, n_ops
+
+
+def traceback_rows_device(bp, start_i, start_b, spec: BandSpec):
+    """Row-lockstep traceback: one scan step per QUERY ROW instead of one per
+    emitted op.
+
+    The naive lockstep walk (`traceback_device`) costs B + t_width + 1
+    sequential steps, each gathering one byte per alignment from the
+    [N, B*W] backpointer plane — measured at ~80% of the fused mapping call
+    on v5e. Key observation: LEFT moves (deletions) are the only moves that
+    do not consume a query row, and within a row they form one contiguous
+    run ending at the first non-LEFT cell at-or-below the current band
+    position. Compressing each run with a per-row `cummax` makes every step
+    consume exactly one row, so step k processes row B-k for EVERY active
+    alignment — the plane is indexed statically (scan xs), and the only
+    cross-lane op is a 128-lane masked reduction. 640 gather-steps become
+    B tiny vector steps.
+
+    Returns uint8 [N, B] row tokens `d | (up << 7)` (row r at column r-1):
+    walking backwards through row r emits `d` deletions and then one
+    diagonal (up=0) or insertion (up=1) op. d <= W-1 < 128 always (band
+    positions are [0, W)), so 7 bits suffice. Rows above the start cell
+    emit 0. The host expansion (`expand_rows_host`) reconstructs the band
+    positions from the tokens alone — matching `traceback_batch` bit for
+    bit — and resolves '=' vs 'X' itself (it holds q and t), so no per-op
+    stream ever crosses the device link."""
+    return traceback_scan(encode_runs(bp), start_i, start_b)
+
+
+def encode_runs(bp):
+    """Encode (position+1, is_up) of every non-LEFT cell; a prefix max along
+    the band finds, for every cell, the non-LEFT cell its LEFT-run ends at.
+    Log2(W) doubling passes over the whole plane (lax.cummax inside a scan
+    step lowers to an O(W^2) reduce-window per step — measured 10x slower).
+    The int32 Pallas kernel produces this directly with emit_enc, where the
+    ladder costs 7 roll+max VPU ops per row instead of an XLA plane pass."""
+    N, B, W = bp.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    enc = jnp.where(
+        bp != BP_LEFT,
+        (((lane + 1) << 1) | (bp == BP_UP)).astype(jnp.int16),
+        jnp.int16(0),
+    )
+    k = 1
+    while k < W:
+        shifted = jnp.concatenate(
+            [jnp.zeros((N, B, k), jnp.int16), enc[:, :, : W - k]], axis=2
+        )
+        enc = jnp.maximum(enc, shifted)
+        k *= 2
+    return enc
+
+
+def traceback_scan(enc, start_i, start_b):
+    """The row-lockstep walk over a run-encoded plane: B scan steps, each a
+    128-lane masked select per alignment."""
+    N, B, W = enc.shape
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    run_rows = jnp.flip(jnp.transpose(enc, (1, 0, 2)), 0)  # [B, N, W]: rows B..1
+    rr = jnp.arange(B, 0, -1, dtype=jnp.int32)
+    si = start_i.astype(jnp.int32)
+
+    def step(b, xs):
+        run_row, r = xs
+        active = r <= si
+        v = jnp.sum(jnp.where(lane2 == b[:, None], run_row.astype(jnp.int32), 0), axis=1)
+        nl = jnp.maximum((v >> 1) - 1, 0)  # non-LEFT cell the run ends at
+        up = v & 1
+        d = jnp.maximum(b - nl, 0)
+        token = jnp.where(active, d | (up << 7), 0).astype(jnp.uint8)
+        b2 = jnp.where(active, nl + up, b)
+        return b2, token
+
+    _, toks = jax.lax.scan(step, start_b.astype(jnp.int32), (run_rows, rr), unroll=8)
+    return jnp.flip(toks, 0).T  # [N, B]
+
+
+@partial(jax.jit, static_argnames=("spec", "kernel", "interpret"))
+def align_traceback_rows(
+    q, q_lens, t, t_lens, modes, spec: BandSpec, kernel: str = "pallas", interpret: bool = False
+):
+    """One device call per batch: DP kernel + readout + row-lockstep
+    traceback. kernel: 'myers' (bit-vector Pallas DP + on-device
+    reconstruction), 'pallas' (int32 Pallas DP), or 'jnp' (scan fallback).
+
+    Returns fused uint8 [N, 16 + B]: int32 meta (cost, clip, start_i,
+    start_b) followed by the per-row traceback tokens. Decode with
+    `expand_rows_host` — outputs equal the host readout+traceback_batch
+    pair element for element."""
+    if kernel == "myers":
+        from .align_myers_pallas import myers_align_device
+
+        res = myers_align_device(q, t, q_lens, t_lens, spec, interpret=interpret)
+    elif kernel == "pallas":
+        from .align_pallas import banded_align_batch_pallas
+
+        res = banded_align_batch_pallas(
+            q, q_lens, t, t_lens, spec, interpret=interpret, emit_enc=True
+        )
+    else:
+        res = banded_align_batch(q, q_lens, t, t_lens, spec)
+    cost, start_i, start_b, clip = readout_device(
+        res, q_lens, t_lens, modes.astype(jnp.int32), spec
+    )
+    if "enc" in res:
+        toks = traceback_scan(res["enc"], start_i, start_b)
+    else:
+        toks = traceback_rows_device(res["bp"], start_i, start_b, spec)
+    meta = jnp.stack(
+        [cost.astype(jnp.int32), clip.astype(jnp.int32), start_i.astype(jnp.int32), start_b.astype(jnp.int32)],
+        axis=1,
+    )
+    return jnp.concatenate([meta.view(jnp.uint8).reshape(meta.shape[0], 16), toks], axis=1)
+
+
+def expand_rows_host(fused, qb, tb, spec: BandSpec):
+    """Host decode of `align_traceback_rows`: rebuild the full expanded op
+    streams (forward order) from the per-row (d, up) tokens.
+
+    The band-position sequence is recovered from the tokens alone
+    (b_{r-1} = b_r - d_r + up_r), then '='/'X' is decided by comparing q/t
+    directly — dispatched to the native C++ twin when available (one pass,
+    no temporaries), else vectorised numpy. Returns (ops_list, cost, clip)."""
+    import numpy as np
+
+    from .align import TB_D, TB_EQ, TB_I, TB_X
+
+    fused = np.asarray(fused)
+    meta = fused[:, :16].copy().view(np.int32)  # cost, clip, start_i, start_b
+    toks = fused[:, 16:]
+    N, B = toks.shape
+
+    from .. import native as _native
+
+    nat = _native.expand_rows(toks, meta, qb, tb, spec.dl)
+    if nat is not None:
+        flat, offsets = nat
+        ops_list = [flat[offsets[i] : offsets[i + 1]] for i in range(N)]
+        return ops_list, meta[:, 0], meta[:, 1]
+    dl = spec.dl
+    start_i = meta[:, 2].astype(np.int64)
+    start_b = meta[:, 3].astype(np.int64)
+    d = (toks & 0x7F).astype(np.int64)
+    up = (toks >> 7).astype(np.int64)
+    rows = np.arange(1, B + 1, dtype=np.int64)[None, :]
+    active = rows <= start_i[:, None]
+    d *= active
+    up *= active
+    # band position on arrival at row r: b_{r-1} = b_r - d_r + up_r
+    move = d - up
+    cums = np.cumsum(move, axis=1)
+    b_r = start_b[:, None] - (cums[:, -1:] - cums)
+    nl = b_r - d
+    b0 = np.where(start_i > 0, nl[:, 0] + up[:, 0], start_b)
+    jf = np.maximum(b0 - dl, 0)  # leading deletions once the query is spent
+    jcol = rows + nl - dl
+    tj = np.take_along_axis(tb, np.clip(jcol - 1, 0, tb.shape[1] - 1).astype(np.int64), axis=1)
+    same = qb[:, :B] == tj
+    opv = np.where(up == 1, TB_I, np.where(same, TB_EQ, TB_X)).astype(np.int8)
+    # interleave (counts, values): [D x jf, op_1, D x d_1, op_2, D x d_2, ...]
+    V = np.empty((N, 2 * B + 1), np.int8)
+    C = np.empty((N, 2 * B + 1), np.int64)
+    V[:, 0] = TB_D
+    C[:, 0] = jf
+    V[:, 1::2] = opv
+    C[:, 1::2] = active
+    V[:, 2::2] = TB_D
+    C[:, 2::2] = d
+    flat = np.repeat(V.ravel(), C.ravel())
+    totals = C.sum(axis=1)
+    ops_list = np.split(flat, np.cumsum(totals)[:-1])
+    return ops_list, meta[:, 0], meta[:, 1]
 
 
 @partial(jax.jit, static_argnames=("spec", "use_pallas"))

@@ -235,6 +235,102 @@ def words_from_device(p_out: np.ndarray, spec_chunk: int) -> np.ndarray:
     return np.ascontiguousarray(x.reshape(G * S * APG, n_steps * RG, NW))
 
 
+def _words_from_device_jnp(x: jnp.ndarray) -> jnp.ndarray:
+    """jnp twin of `words_from_device`: [G, n_steps, S, RG, 128] kernel
+    layout -> [N, B, 4] uint32 delta words."""
+    G, n_steps, S, RG, _ = x.shape
+    x = x.reshape(G, n_steps, S, RG, APG, NW)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5))
+    return x.reshape(G * S * APG, n_steps * RG, NW)
+
+
+def _unpack_bits_jnp(words: jnp.ndarray, W: int) -> jnp.ndarray:
+    """[..., nw] uint32 little-endian bitvectors -> [..., W] int32 bits."""
+    bits = (words[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    return bits.reshape(*words.shape[:-1], words.shape[-1] * 32)[..., :W].astype(jnp.int32)
+
+
+def myers_align_device(
+    q: jnp.ndarray,  # int8 [N, B]
+    t: jnp.ndarray,  # int8 [N, T]
+    q_lens: jnp.ndarray,
+    t_lens: jnp.ndarray,
+    spec: BandSpec = BandSpec(),
+    interpret: bool = False,
+) -> dict:
+    """Myers Pallas kernel + ON-DEVICE reconstruction of the
+    `banded_align_batch` outputs (bp plane, row_at_q, colmin) — the jnp twin
+    of `ops.align_myers.myers_to_align_result`, same masked formulas, so
+    downstream readout/traceback are bit-identical.
+
+    This is what makes the bit-vector kernel the production mapping path:
+    the round-2 host adapter materialised the cell matrix in numpy and cost
+    more than the device saved (docs/ROADMAP.md); here the unpack + two
+    cumsums + masks are a single fused XLA program that runs at HBM
+    bandwidth and feeds `traceback_rows_device` without any host round-trip."""
+    from .align import INF
+
+    N, B = q.shape
+    W = spec.band
+    dl = spec.dl
+    p_dev, m_dev = myers_rows_pallas(q, t, spec, interpret=interpret)
+    P = _words_from_device_jnp(p_dev)
+    M = _words_from_device_jnp(m_dev)
+    q_lens = q_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+
+    delta = _unpack_bits_jnp(P, W) - _unpack_bits_jnp(M, W)  # [N, B, W]
+    # per-row anchor C_i[0]; C_0[0] = dl (the V apex is at b = dl)
+    score0 = dl + jnp.cumsum(1 + delta[:, :, 0], axis=1)  # rows 1..B
+    d = delta.at[:, :, 0].set(0)
+    crows = score0[:, :, None] + jnp.cumsum(d, axis=2)
+
+    bar = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    i = jnp.arange(1, B + 1, dtype=jnp.int32)[None, :, None]
+    j = i + bar - dl
+    valid = (j >= 0) & (j <= t_lens[:, None, None]) & (i <= q_lens[:, None, None])
+    C = jnp.where(valid, jnp.minimum(crows, INF), INF).astype(jnp.int32)
+
+    j0 = jnp.arange(W, dtype=jnp.int32)[None, :] - dl
+    row0 = jnp.where((j0 >= 0) & (j0 <= t_lens[:, None]), j0, INF).astype(jnp.int32)
+    row0 = jnp.broadcast_to(row0, (N, W))
+    prev = jnp.concatenate([row0[:, None, :], C[:, :-1, :]], axis=1)
+
+    pad_right = B + W - t.shape[1]
+    t_padded = jnp.pad(t, ((0, 0), (dl, max(0, pad_right))), constant_values=T_SENTINEL)
+    widx = jnp.arange(B, dtype=jnp.int32)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    win = jnp.take(t_padded, widx, axis=1)  # [N, B, W]
+    sub = (q[:, :, None] != win).astype(jnp.int32)
+    diag = prev + sub
+    up = jnp.concatenate([prev[:, :, 1:], jnp.full((N, B, 1), INF, jnp.int32)], axis=2) + 1
+    from .align import BP_DIAG, BP_LEFT, BP_UP
+
+    bp = jnp.where(C == diag, BP_DIAG, jnp.where(C == up, BP_UP, BP_LEFT)).astype(jnp.uint8)
+
+    # row at i == qlen (row 0 when qlen == 0, mirroring the jnp kernel init)
+    idx = jnp.clip(q_lens - 1, 0, B - 1)
+    row_at_q = jnp.take_along_axis(C, idx[:, None, None], axis=1)[:, 0]
+    row_at_q = jnp.where((q_lens == 0)[:, None], row0, row_at_q)
+    row_at_q = jnp.where((q_lens > B)[:, None], INF, row_at_q)
+
+    # best cell of the j == tlen column over rows 1..B (first argmin)
+    b_col = t_lens[:, None] - jnp.arange(1, B + 1, dtype=jnp.int32)[None, :] + dl
+    ok = (b_col >= 0) & (b_col < W) & (jnp.arange(1, B + 1)[None, :] <= q_lens[:, None])
+    colv = jnp.take_along_axis(C, jnp.clip(b_col, 0, W - 1)[:, :, None], axis=2)[:, :, 0]
+    colv = jnp.where(ok, colv, INF)
+    colmin_i = jnp.argmin(colv, axis=1).astype(jnp.int32)
+    colmin_val = jnp.take_along_axis(colv, colmin_i[:, None], axis=1)[:, 0]
+    colmin_i = jnp.where(colmin_val >= INF, 0, colmin_i + 1)
+    colmin_val = jnp.minimum(colmin_val, INF)
+
+    return {
+        "bp": bp,
+        "row_at_q": row_at_q,
+        "colmin_val": colmin_val,
+        "colmin_i": colmin_i,
+    }
+
+
 def banded_align_batch_myers(
     q,
     q_lens,

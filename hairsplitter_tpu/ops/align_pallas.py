@@ -47,7 +47,7 @@ def _pick_sublanes(n: int) -> int:
     raise ValueError(f"batch size {n} must be a multiple of 32")
 
 
-def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
+def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int, emit_enc: bool = False):
     B = spec.chunk
     W = spec.band
     dl = spec.dl
@@ -61,7 +61,8 @@ def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
         t0_ref,  # int8 [S, W] initial target window (row 1)
         qlen_ref,  # int32 [S, 128] query lengths (lane-broadcast)
         tlen_ref,  # int32 [S, 128] target lengths (lane-broadcast)
-        bp_ref,  # uint8 [S, RG, W] out backpointers
+        bp_ref,  # out [S, RG, W]: uint8 backpointers, or int16 traceback run
+        #          encodings when emit_enc (see traceback_rows_device)
         rowq_ref,  # int32 [S, W] out row at i == qlen
         colv_ref,  # int32 [S, 128] out best j==tlen cell value
         coli_ref,  # int32 [S, 128] out its row index
@@ -111,7 +112,21 @@ def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
             invalid = (jv.astype(jnp.uint32) > tlen_u) | (i > qlen)
             row = jnp.where(invalid, inf_m_lane, jnp.minimum(x, inf_m_lane))
             op = jnp.where(row == diag, BP_DIAG, jnp.where(row == up, BP_UP, BP_LEFT))
-            bp_ref[:, r, :] = op.astype(jnp.uint8)
+            if emit_enc:
+                # traceback run encoding (ops/align_device.py): per cell, the
+                # (position+1, is_up) of the non-LEFT cell its LEFT-run ends
+                # at — a prefix max over lanes, in-kernel where it costs 7
+                # roll+max ops instead of an XLA pass over the whole plane
+                enc = jnp.where(
+                    op != BP_LEFT, ((lane + 1) << 1) | (op == BP_UP).astype(jnp.int32), 0
+                )
+                k = 1
+                while k < W:
+                    enc = jnp.maximum(enc, jnp.where(lane >= k, pltpu.roll(enc, k, axis=1), 0))
+                    k *= 2
+                bp_ref[:, r, :] = enc.astype(jnp.int16)
+            else:
+                bp_ref[:, r, :] = op.astype(jnp.uint8)
 
             rq = jnp.where(qlen == i, row, rq)
             # j == tlen column: row i lives at the unique lane tlen - i + dl,
@@ -147,7 +162,7 @@ def _dp_kernel(spec: BandSpec, rows_per_step: int, sublanes: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("spec", "interpret", "rows_per_step", "sublanes"))
+@partial(jax.jit, static_argnames=("spec", "interpret", "rows_per_step", "sublanes", "emit_enc"))
 def banded_align_batch_pallas(
     q: jnp.ndarray,  # int8 [N, B]
     q_lens: jnp.ndarray,  # int32 [N]
@@ -157,8 +172,12 @@ def banded_align_batch_pallas(
     interpret: bool = False,
     rows_per_step: int = 16,
     sublanes: int | None = None,
+    emit_enc: bool = False,
 ):
-    """Pallas version of the banded DP; same outputs as the jnp version."""
+    """Pallas version of the banded DP; same outputs as the jnp version.
+    With emit_enc, the plane output is the int16 traceback run encoding
+    under key 'enc' instead of raw backpointers (same information, ready
+    for `traceback_rows_device`)."""
     N, B = q.shape
     W = spec.band
     dl = spec.dl
@@ -182,8 +201,9 @@ def banded_align_batch_pallas(
     qlen_b = jnp.broadcast_to(q_lens.astype(jnp.int32)[:, None], (N, 128))
     tlen_b = jnp.broadcast_to(t_lens.astype(jnp.int32)[:, None], (N, 128))
 
+    plane_dtype = jnp.int16 if emit_enc else jnp.uint8
     bp, rowq, colv, coli = pl.pallas_call(
-        _dp_kernel(spec, RG, S),
+        _dp_kernel(spec, RG, S, emit_enc),
         grid=(groups, B // RG),
         in_specs=[
             pl.BlockSpec((1, S, RG), lambda g, i: (i, g, 0), memory_space=pltpu.VMEM),
@@ -199,7 +219,7 @@ def banded_align_batch_pallas(
             pl.BlockSpec((S, 128), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, B, W), jnp.uint8),
+            jax.ShapeDtypeStruct((N, B, W), plane_dtype),
             jax.ShapeDtypeStruct((N, W), jnp.int32),
             jax.ShapeDtypeStruct((N, 128), jnp.int32),
             jax.ShapeDtypeStruct((N, 128), jnp.int32),
@@ -221,7 +241,7 @@ def banded_align_batch_pallas(
         ),
     )(qcols, t_inj, t0, qlen_b, tlen_b)
     return {
-        "bp": bp,  # [N, B, W] — natural layout, no relayout anywhere
+        ("enc" if emit_enc else "bp"): bp,  # [N, B, W] — natural layout
         "row_at_q": rowq,
         "colmin_val": colv[:, 0],
         "colmin_i": coli[:, 0],

@@ -332,4 +332,61 @@ int64_t hs_select_pins(const int64_t* qa, const int64_t* ta, int64_t n,
     return np_pins;
 }
 
+// ---------------------------------------------------------------------------
+// Traceback-token expansion (ops/align_device.py:expand_rows_host, bit-
+// identical). Decodes the per-row (d, up) tokens of the row-lockstep device
+// traceback into forward-order expanded op streams (0 '=', 1 'X', 2 'I',
+// 3 'D'). toks is N*B uint8 (row r at column r-1, value d | up<<7), meta is
+// N*4 int32 (cost, clip, start_i, start_b), qb N*B and tb N*T int8 codes.
+// Writes the concatenated streams into ops_out (capacity cap) and the N+1
+// prefix offsets; returns total ops or -1 on overflow.
+int64_t hs_expand_rows(const uint8_t* toks, const int32_t* meta,
+                       const int8_t* qb, const int8_t* tb,
+                       int64_t N, int64_t B, int64_t T, int64_t dl,
+                       int64_t cap, int8_t* ops_out, int64_t* offsets) {
+    const int8_t TB_EQ = 0, TB_X = 1, TB_I = 2, TB_D = 3;
+    std::vector<int32_t> row_d(B), row_up(B), row_nl(B);
+    int64_t total = 0;
+    for (int64_t n = 0; n < N; n++) {
+        offsets[n] = total;
+        const uint8_t* tk = toks + n * B;
+        const int8_t* q = qb + n * B;
+        const int8_t* t = tb + n * T;
+        int64_t start_i = meta[4 * n + 2];
+        int64_t start_b = meta[4 * n + 3];
+        // pass 1: walk rows start_i..1 recovering band positions
+        int64_t b = start_b;
+        for (int64_t r = start_i; r >= 1; r--) {
+            int32_t d = tk[r - 1] & 0x7f;
+            int32_t up = tk[r - 1] >> 7;
+            row_d[r - 1] = d;
+            row_up[r - 1] = up;
+            row_nl[r - 1] = (int32_t)(b - d);
+            b = (b - d) + up;
+        }
+        int64_t jf = b - dl > 0 ? b - dl : 0;
+        if (total + jf + start_i > cap) return -1;  // d-run bound checked below
+        // pass 2: emit forward order
+        for (int64_t k = 0; k < jf; k++) ops_out[total++] = TB_D;
+        for (int64_t r = 1; r <= start_i; r++) {
+            int64_t jcol = r + row_nl[r - 1] - dl;
+            int8_t op;
+            if (row_up[r - 1]) {
+                op = TB_I;
+            } else {
+                int64_t tj = jcol - 1;
+                if (tj < 0) tj = 0;
+                if (tj > T - 1) tj = T - 1;
+                op = (q[r - 1] == t[tj]) ? TB_EQ : TB_X;
+            }
+            int64_t need = 1 + row_d[r - 1];
+            if (total + need > cap) return -1;
+            ops_out[total++] = op;
+            for (int32_t k = 0; k < row_d[r - 1]; k++) ops_out[total++] = TB_D;
+        }
+    }
+    offsets[N] = total;
+    return total;
+}
+
 }  // extern "C"
