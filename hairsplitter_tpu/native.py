@@ -98,6 +98,18 @@ def get_lib():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.hs_poa_consensus.restype = ctypes.c_int64
+    lib.hs_poa_consensus.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64,
+    ]
     lib.hs_expand_rows.restype = ctypes.c_int64
     lib.hs_expand_rows.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -210,6 +222,40 @@ def chain_sweep(q: np.ndarray, t: np.ndarray, max_gap: int, max_diag_diff: int):
         _ptr(breaks, ctypes.c_int64),
     )
     return breaks[:nb]
+
+
+def poa_consensus(
+    seqs: list[np.ndarray],
+    match: int = 3,
+    mismatch: int = -5,
+    gap: int = -4,
+    min_cov: int = 0,
+) -> np.ndarray | None:
+    """Partial-order-alignment consensus over int8 code sequences (first =
+    backbone window layer). racon/spoa equivalent with racon's default
+    scores; None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not seqs:
+        return None
+    flat = np.concatenate([np.ascontiguousarray(s, dtype=np.int8) for s in seqs])
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    cap = int(flat.size + 16)
+    out = np.empty(cap, dtype=np.int8)
+    n = lib.hs_poa_consensus(
+        _ptr(flat, ctypes.c_int8),
+        _ptr(offsets, ctypes.c_int64),
+        len(seqs),
+        int(match),
+        int(mismatch),
+        int(gap),
+        int(min_cov),
+        _ptr(out, ctypes.c_int8),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n]
 
 
 def expand_rows(toks: np.ndarray, meta: np.ndarray, qb: np.ndarray, tb: np.ndarray, dl: int):

@@ -139,7 +139,8 @@ def create_new_contigs(
     per_contig: dict[str, tuple[list[Alignment], ContigGroups]],
     read_seqs: dict[int, str],
     polish_everything: bool = False,
-    polish_rounds: int = 0,  # extra racon-style remap+vote rounds (noisy reads)
+    polish_rounds: int = 0,  # extra racon-style polish rounds (noisy reads)
+    polish_mode: str = "vote",  # "vote" (remap+vote) | "poa" (racon-equivalent)
     base_caller=None,  # medaka-equivalent NN caller (models/polisher.py)
 ) -> ZipResult:
     """Build the zipped assembly graph from all contigs' window groups."""
@@ -224,14 +225,20 @@ def create_new_contigs(
                         backbone, iv.start, rc, ri, base_caller=base_caller
                     )
                     if polish_rounds > 0:
-                        from ..ops.consensus import polish_iterative
+                        group_reads = [read_seqs[alns[r].read_idx] for r in rows]
+                        if polish_mode == "poa":
+                            from ..ops.poa import polish_poa
 
-                        seq_g = polish_iterative(
-                            seq_g,
-                            [read_seqs[alns[r].read_idx] for r in rows],
-                            rounds=polish_rounds,
-                            base_caller=base_caller,
-                        )
+                            seq_g = polish_poa(seq_g, group_reads, rounds=polish_rounds)
+                        else:
+                            from ..ops.consensus import polish_iterative
+
+                            seq_g = polish_iterative(
+                                seq_g,
+                                group_reads,
+                                rounds=polish_rounds,
+                                base_caller=base_caller,
+                            )
                 else:
                     seq_g = "".join("ACGT-N"[c] for c in backbone)
                 new_graph.add_segment(name, seq_g, depths.get(g, 0.0))

@@ -401,17 +401,30 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             counts, ins_rate, backbone
         )
         log.log("  polishing with the NN base caller (medaka-equivalent)")
-    # racon-style extra remap+vote rounds pay off only on very noisy reads:
-    # the single-pass consensus is exact at <=10% read error
+    # racon-style extra polish rounds pay off only on very noisy reads: the
+    # single-pass consensus is exact at <=10% read error. Above that, run
+    # the reference's own ladder — vote consensus then racon (tools.cpp:
+    # 317-557) — with the native POA standing in for racon (ops/poa.py);
+    # measured on 24%-error reads the vote plateaus at ~95% identity while
+    # vote+POA reaches ~99.5%
     polish_rounds = 2 if error_rate > 0.08 else 0
+    polish_mode = "vote"
+    if polish_rounds and cfg.polisher != "medaka":
+        from ..ops.poa import poa_available
+
+        if poa_available():
+            polish_mode = "poa"
     if polish_rounds:
-        log.log(f"  noisy reads ({error_rate:.3f}): {polish_rounds} extra polish rounds")
+        log.log(
+            f"  noisy reads ({error_rate:.3f}): {polish_rounds} extra polish rounds ({polish_mode})"
+        )
     zr = create_new_contigs(
         assembly,
         zip_in,
         read_seqs,
         cfg.polish_everything,
         polish_rounds=polish_rounds,
+        polish_mode=polish_mode,
         base_caller=base_caller,
     )
     new_bp = sum(len(s) for s in zr.graph.segments.values())

@@ -389,4 +389,248 @@ int64_t hs_expand_rows(const uint8_t* toks, const int32_t* meta,
     return total;
 }
 
+// ---------------------------------------------------------------------------
+// Partial-order-alignment consensus (racon/spoa equivalent; the reference
+// shells out to racon for per-group window polishing, src/tools.cpp:317-557).
+// Sequences are int8 base codes 0..3; the first sequence seeds the graph
+// (the backbone window layer, like racon's window sequence). Each further
+// sequence is aligned to the DAG (semi-global: graph prefix/suffix free,
+// sequence fully consumed) and threaded in, fusing matching bases into
+// existing nodes and keeping mismatches as aligned alternatives in the same
+// column. The consensus is the heaviest path by edge weight, end-trimmed
+// where node support falls below half the layer count (racon's window
+// coverage trim).
+
+namespace poa {
+
+struct Node {
+    int8_t base;
+    std::vector<std::pair<int32_t, int32_t>> in;  // (src, weight)
+    std::vector<int32_t> out;
+    std::vector<int32_t> aligned;  // other nodes of the same column
+    int32_t support = 0;           // sequences that placed a base on this node
+};
+
+struct Graph {
+    std::vector<Node> nodes;
+
+    int32_t add_node(int8_t b) {
+        nodes.push_back(Node{b, {}, {}, {}, 0});
+        return (int32_t)nodes.size() - 1;
+    }
+
+    void add_edge(int32_t u, int32_t v, int32_t w) {
+        for (auto& e : nodes[v].in)
+            if (e.first == u) {
+                e.second += w;
+                return;
+            }
+        nodes[v].in.push_back({u, w});
+        nodes[u].out.push_back(v);
+    }
+
+    std::vector<int32_t> topo() const {
+        int32_t n = (int32_t)nodes.size();
+        std::vector<int32_t> indeg(n, 0), order;
+        order.reserve(n);
+        for (int32_t v = 0; v < n; v++) indeg[v] = (int32_t)nodes[v].in.size();
+        std::vector<int32_t> stack;
+        for (int32_t v = 0; v < n; v++)
+            if (indeg[v] == 0) stack.push_back(v);
+        while (!stack.empty()) {
+            int32_t v = stack.back();
+            stack.pop_back();
+            order.push_back(v);
+            for (int32_t w : nodes[v].out)
+                if (--indeg[w] == 0) stack.push_back(w);
+        }
+        return order;
+    }
+};
+
+// Align seq (length m) to the graph; returns pairs (node_id, seq_pos), -1 for
+// gaps, in forward order.
+static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
+                           int32_t match, int32_t mismatch, int32_t gap,
+                           std::vector<std::pair<int32_t, int32_t>>& pairs) {
+    pairs.clear();
+    std::vector<int32_t> order = g.topo();
+    int32_t R = (int32_t)order.size();
+    std::vector<int32_t> rank_of(R, 0);
+    for (int32_t r = 0; r < R; r++) rank_of[order[r]] = r;
+    int64_t stride = m + 1;
+    const int32_t NEG = INT32_MIN / 2;
+    // H[(r+1)*stride + j]; row 0 = virtual source (no node consumed)
+    std::vector<int32_t> H((R + 1) * stride);
+    std::vector<int32_t> bp_pred((R + 1) * stride, -1);  // pred rank (or -1 = source)
+    std::vector<int8_t> bp_move((R + 1) * stride, -1);   // 0 diag, 1 node-del, 2 seq-ins
+    for (int64_t j = 0; j <= m; j++) H[j] = (int32_t)(j)*gap;
+    for (int32_t r = 0; r < R; r++) {
+        const Node& nd = g.nodes[order[r]];
+        int32_t* row = H.data() + (int64_t)(r + 1) * stride;
+        int32_t* bpr = bp_pred.data() + (int64_t)(r + 1) * stride;
+        int8_t* bmr = bp_move.data() + (int64_t)(r + 1) * stride;
+        // predecessor rows: graph preds, plus the virtual source (free graph
+        // prefix: starting fresh at this node costs nothing)
+        int32_t npred = (int32_t)nd.in.size();
+        row[0] = 0;  // free graph prefix, no seq consumed
+        bpr[0] = -2;
+        bmr[0] = -1;
+        (void)NEG;
+        for (int64_t j = 1; j <= m; j++) {
+            int32_t sc = (nd.base == seq[j - 1]) ? match : mismatch;
+            // virtual source: fresh start at this node after j-1 leading
+            // inserts (H row 0 = j*gap), or delete this node from the source
+            int32_t best = H[j - 1] + sc;
+            int32_t bestp = -2;
+            int8_t bestm = 0;
+            int32_t cu0 = H[j] + gap;
+            if (cu0 > best) { best = cu0; bestp = -2; bestm = 1; }
+            for (int32_t pi = 0; pi < npred; pi++) {
+                int32_t pr = rank_of[nd.in[pi].first] + 1;
+                const int32_t* prow = H.data() + (int64_t)pr * stride;
+                int32_t cd = prow[j - 1] + sc;
+                if (cd > best) { best = cd; bestp = pr - 1; bestm = 0; }
+                int32_t cu = prow[j] + gap;
+                if (cu > best) { best = cu; bestp = pr - 1; bestm = 1; }
+            }
+            int32_t ci = row[j - 1] + gap;
+            if (ci > best) { best = ci; bestp = r; bestm = 2; }
+            row[j] = best;
+            bpr[j] = bestm == 2 ? r : bestp;
+            bmr[j] = bestm;
+        }
+    }
+    // free graph suffix: best over all rows at j == m
+    int32_t best_r = -1, best_v = H[m];
+    for (int32_t r = 0; r < R; r++) {
+        int32_t v = H[(int64_t)(r + 1) * stride + m];
+        if (v > best_v) { best_v = v; best_r = r; }
+    }
+    // backtrack
+    int32_t r = best_r;
+    int64_t j = m;
+    std::vector<std::pair<int32_t, int32_t>> rev;
+    while (j > 0 || r >= 0) {
+        if (r < 0) {
+            // at the virtual source: remaining seq chars are leading inserts
+            while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
+            break;
+        }
+        int64_t at = (int64_t)(r + 1) * stride + j;
+        int8_t mv = bp_move[at];
+        int32_t pr = bp_pred[at];
+        if (mv == 0) {
+            rev.push_back({order[r], (int32_t)(j - 1)});
+            j--;
+            r = (pr == -2) ? INT32_MIN : pr;  // -2: fresh start, stop at source
+            if (r == INT32_MIN) break;
+        } else if (mv == 1) {
+            rev.push_back({order[r], -1});
+            r = (pr == -2) ? INT32_MIN : pr;
+            if (r == INT32_MIN) break;
+        } else if (mv == 2) {
+            rev.push_back({-1, (int32_t)(j - 1)});
+            j--;
+        } else {
+            break;  // bp_move == -1: at (r, 0) fresh start
+        }
+    }
+    while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
+    pairs.assign(rev.rbegin(), rev.rend());
+}
+
+static void add_alignment(Graph& g, const int8_t* seq, int64_t m,
+                          const std::vector<std::pair<int32_t, int32_t>>& pairs) {
+    int32_t prev = -1;
+    for (auto& pr : pairs) {
+        int32_t nid = pr.first;
+        int32_t j = pr.second;
+        if (j < 0) continue;  // graph node skipped: nothing to add
+        int8_t c = seq[j];
+        int32_t cur;
+        if (nid < 0) {
+            cur = g.add_node(c);
+        } else if (g.nodes[nid].base == c) {
+            cur = nid;
+        } else {
+            cur = -1;
+            for (int32_t a : g.nodes[nid].aligned)
+                if (g.nodes[a].base == c) { cur = a; break; }
+            if (cur < 0) {
+                cur = g.add_node(c);
+                std::vector<int32_t> members(g.nodes[nid].aligned);
+                members.push_back(nid);
+                for (int32_t mmb : members) g.nodes[mmb].aligned.push_back(cur);
+                g.nodes[cur].aligned = members;
+            }
+        }
+        g.nodes[cur].support++;
+        if (prev >= 0) g.add_edge(prev, cur, 1);
+        prev = cur;
+    }
+}
+
+}  // namespace poa
+
+int64_t hs_poa_consensus(const int8_t* seqs, const int64_t* offsets, int64_t n_seqs,
+                         int32_t match, int32_t mismatch, int32_t gap,
+                         int32_t min_cov, int8_t* out, int64_t cap) {
+    if (n_seqs <= 0) return 0;
+    poa::Graph g;
+    // seed with the first sequence (backbone window layer)
+    {
+        int64_t lo = offsets[0], hi = offsets[1];
+        int32_t prev = -1;
+        for (int64_t p = lo; p < hi; p++) {
+            int32_t v = g.add_node(seqs[p]);
+            g.nodes[v].support++;
+            if (prev >= 0) g.add_edge(prev, v, 1);
+            prev = v;
+        }
+    }
+    std::vector<std::pair<int32_t, int32_t>> pairs;
+    for (int64_t s = 1; s < n_seqs; s++) {
+        int64_t lo = offsets[s], hi = offsets[s + 1];
+        if (hi <= lo) continue;
+        poa::align_to_graph(g, seqs + lo, hi - lo, match, mismatch, gap, pairs);
+        poa::add_alignment(g, seqs + lo, hi - lo, pairs);
+    }
+    // heaviest path by edge weight (ties: higher upstream score)
+    std::vector<int32_t> order = g.topo();
+    int64_t n = (int64_t)g.nodes.size();
+    std::vector<int64_t> score(n, 0);
+    std::vector<int32_t> pred(n, -1);
+    for (int32_t v : order) {
+        int64_t best = 0;
+        int32_t bp = -1;
+        int64_t bw = -1;
+        for (auto& e : g.nodes[v].in) {
+            int64_t cand = score[e.first] + e.second;
+            if (e.second > bw || (e.second == bw && cand > best)) {
+                bw = e.second;
+                best = cand;
+                bp = e.first;
+            }
+        }
+        if (bp >= 0) { score[v] = best; pred[v] = bp; }
+    }
+    int32_t end = 0;
+    for (int32_t v = 0; v < (int32_t)n; v++)
+        if (score[v] > score[end]) end = v;
+    std::vector<int32_t> path;
+    for (int32_t v = end; v >= 0; v = pred[v]) path.push_back(v);
+    std::reverse(path.begin(), path.end());
+    // racon-style coverage trim at the ends
+    int64_t b = 0, e = (int64_t)path.size();
+    while (b < e && g.nodes[path[b]].support < min_cov) b++;
+    while (e > b && g.nodes[path[e - 1]].support < min_cov) e--;
+    int64_t outn = 0;
+    for (int64_t i = b; i < e; i++) {
+        if (outn >= cap) return -1;
+        out[outn++] = g.nodes[path[i]].base;
+    }
+    return outn;
+}
+
 }  // extern "C"
