@@ -58,6 +58,51 @@ def mapping_kbps(on_tpu: bool) -> dict:
     }
 
 
+def fused_path_rate(spec) -> dict:
+    """Rate of the PRODUCTION mapping device call (DP + readout +
+    row-lockstep traceback fused, ops/align_device.py:align_traceback_rows)
+    at the production bucket size — the number that governs pipeline
+    mapping throughput, alongside the raw-kernel headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from hairsplitter_tpu.ops.align import T_SENTINEL
+    from hairsplitter_tpu.ops.align_device import align_traceback_rows
+
+    N = 2048
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (N, spec.chunk)).astype(np.int8)
+    t = np.full((N, spec.t_width), T_SENTINEL, dtype=np.int8)
+    t[:, : spec.chunk] = np.where(
+        rng.random((N, spec.chunk)) < 0.05, rng.integers(0, 4, (N, spec.chunk)), q
+    )
+    ql = jax.device_put(np.full(N, spec.chunk, np.int32))
+    tl = jax.device_put(np.full(N, spec.chunk, np.int32))
+    modes = jax.device_put(np.zeros(N, np.int32))
+    q, t = jax.device_put(q), jax.device_put(t)
+
+    @jax.jit
+    def one(acc):
+        f = align_traceback_rows(q, ql, t, tl, modes, spec, "pallas")
+        return acc + f[0, 0].astype(jnp.int32) + f[-1, -1].astype(jnp.int32)
+
+    int(one(jnp.zeros((), jnp.int32)))
+    iters = 10
+    best = float("inf")
+    for _ in range(3):
+        acc = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = one(acc)
+        int(acc)
+        best = min(best, time.perf_counter() - t0)
+    per_call = best / iters
+    return {
+        "fused_align_traceback_ms_per_2048": round(per_call * 1e3, 2),
+        "fused_align_traceback_cells_per_s": round(N * spec.chunk * spec.band / per_call, 1),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -137,6 +182,8 @@ def main():
         "timing": "device-resident inputs, 10 dependency-chained calls, one forced fetch",
         "device": str(jax.devices()[0]),
     }
+    if on_tpu:
+        detail.update(fused_path_rate(spec))
     detail.update(mapping_kbps(on_tpu))
 
     print(

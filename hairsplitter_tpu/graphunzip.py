@@ -85,6 +85,14 @@ def _repolish_copies(g, copy_of, read_paths, read_seqs_by_row):
             )
         else:
             polished = polish_iterative(backbone, reads, rounds=2)
+            # the reference racon-polishes here (repolish.py:246,282); on
+            # noisy reads the POA pass is what reaches racon's accuracy
+            if alns:
+                err = float(np.mean([a.nm / max(1, a.q_end - a.q_start) for a in alns]))
+                if err > 0.10:
+                    from .ops.poa import polish_poa
+
+                    polished = polish_poa(polished, reads, rounds=1)
         if polished and polished != backbone:
             g.segments[name] = polished
             n += 1
