@@ -226,17 +226,24 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     amplicon = cfg.technology == "amplicon"
 
     if cfg.correct_assembly:
-        from .tailor import correct_assembly
+        corrected_path = os.path.join(tmp_dir, "corrected_assembly.gfa")
+        if resume and os.path.exists(corrected_path):
+            assembly = parse_gfa(corrected_path)
+            log.log(f"  resume: corrected assembly loaded from {corrected_path}")
+        else:
+            from .tailor import correct_assembly
 
-        log.log("STAGE 1b correcting the assembly (GenomeTailor-equivalent)")
-        t0 = time.time()
-        assembly, rep = correct_assembly(assembly, read_seqs, cfg.map)
-        log.log(
-            f"  end-to-end reads {rep.end_to_end_before} -> {rep.end_to_end_after}; "
-            f"{len(rep.cuts)} cuts, {len(rep.new_links)} new links"
-        )
-        stats.record("correct_assembly", time.time() - t0)
-        write_gfa(assembly, os.path.join(tmp_dir, "corrected_assembly.gfa"))
+            log.log("STAGE 1b correcting the assembly (GenomeTailor-equivalent)")
+            t0 = time.time()
+            assembly, rep = correct_assembly(
+                assembly, read_seqs, cfg.map, artifact_dir=tmp_dir, resume=resume
+            )
+            log.log(
+                f"  end-to-end reads {rep.end_to_end_before} -> {rep.end_to_end_after}; "
+                f"{len(rep.cuts)} cuts, {len(rep.new_links)} new links"
+            )
+            stats.record("correct_assembly", time.time() - t0)
+            write_gfa(assembly, corrected_path)
 
     sam_path = os.path.join(tmp_dir, "reads_on_asm.sam")
     if resume and os.path.exists(sam_path):
@@ -413,7 +420,11 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
         from ..ops.poa import poa_available
 
         if poa_available():
+            # the reference ladder runs ONE racon pass after the vote
+            # consensus (tools.cpp:317-557); one POA round converges the
+            # same way (round 2 is a no-op on vote-initialised drafts)
             polish_mode = "poa"
+            polish_rounds = 1
     if polish_rounds:
         log.log(
             f"  noisy reads ({error_rate:.3f}): {polish_rounds} extra polish rounds ({polish_mode})"
@@ -474,6 +485,7 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             "reads_on_asm.sam",
             "run_fingerprint.txt",
             "ploidy.txt",
+            "corrected_assembly.gfa",  # stage-1b resume artifact
         }
         for fn in os.listdir(tmp_dir):
             if fn not in keep:

@@ -32,6 +32,7 @@ shells out to raven first, scaffold.cpp:154,2160-2166).
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from dataclasses import dataclass, field
 
@@ -366,6 +367,8 @@ def correct_assembly(
     read_seqs: dict[int, str],
     map_cfg: MapConfig = MapConfig(),
     cfg: TailorConfig = TailorConfig(),
+    artifact_dir: str | None = None,
+    resume: bool = False,
 ) -> tuple[AssemblyGraph, TailorReport]:
     """Detect and correct assembly errors until reads align end-to-end.
 
@@ -373,6 +376,13 @@ def correct_assembly(
     reassemble unaligned reads first, then iterate detect -> correct ->
     shave_and_pop -> realign until a pass changes nothing, then run the
     final coverage cleanup.
+
+    With `artifact_dir` set, the graph after the reassembly pass and after
+    every correction iteration is checkpointed as `tailor_iter_<k>.gfa`
+    (+ a `tailor_state.json` with the running report); `resume=True`
+    restarts the loop from the newest checkpoint instead of iteration 0 —
+    the intra-stage analogue of the reference's stage-level `--resume`
+    (`hairsplitter.py:456-826`).
     """
     report = TailorReport(n_reads=len(read_seqs))
     seqs = [read_seqs[i] for i in sorted(read_seqs)]
@@ -402,31 +412,80 @@ def correct_assembly(
     for l in assembly.links:
         graph.add_link(Link(l.name1, l.orient1, l.name2, l.orient2, l.cigar))
 
-    alns_by_read = _map(graph)
-    report.unaligned_reads = len(read_seqs) - len(alns_by_read)
-    report.end_to_end_before = _count_e2e(graph, alns_by_read)
-    report.e2e_history.append(report.end_to_end_before)
+    def _checkpoint(k: int) -> None:
+        if artifact_dir is None:
+            return
+        import json
 
-    # reassemble reads that aligned nowhere into new contigs — the reference
-    # runs raven on unaligned reads before the correction loop
-    # (scaffold.cpp:2160-2166)
-    remap_needed = False
-    if cfg.reassemble_unaligned:
-        unaligned = {
-            f"u{ridx}": read_seqs[ridx]
-            for ridx in read_seqs
-            if ridx not in alns_by_read and len(read_seqs[ridx]) >= 500
+        from ..io.gfa import write_gfa
+
+        write_gfa(graph, os.path.join(artifact_dir, f"tailor_iter_{k}.gfa"))
+        state = {
+            "iterations": report.iterations,
+            "end_to_end_before": report.end_to_end_before,
+            "e2e_history": report.e2e_history,
+            "unaligned_reads": report.unaligned_reads,
+            "reassembled_contigs": report.reassembled_contigs,
+            "shaved_contigs": report.shaved_contigs,
+            "n_cuts": len(report.cuts),
+            "n_new_links": len(report.new_links),
         }
-        if len(unaligned) >= cfg.min_support:
-            from ..core.assembler import greedy_assemble
+        with open(os.path.join(artifact_dir, "tailor_state.json"), "w") as f:
+            json.dump(state, f)
 
-            new_contigs = greedy_assemble(unaligned, min_len=cfg.min_unaligned_contig)
-            for k, seq in enumerate(new_contigs):
-                graph.add_segment(f"reassembled_{k}", seq, depth=0.0)
-            report.reassembled_contigs = len(new_contigs)
-            remap_needed = bool(new_contigs)
+    resumed_from = -1
+    if resume and artifact_dir is not None:
+        import glob as _glob
+        import json
 
-    for _ in range(cfg.max_iterations):
+        from ..io.gfa import parse_gfa
+
+        arts = sorted(
+            _glob.glob(os.path.join(artifact_dir, "tailor_iter_*.gfa")),
+            key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]),
+        )
+        state_path = os.path.join(artifact_dir, "tailor_state.json")
+        if arts and os.path.exists(state_path):
+            graph = parse_gfa(arts[-1])
+            with open(state_path) as f:
+                state = json.load(f)
+            report.iterations = state["iterations"]
+            report.end_to_end_before = state["end_to_end_before"]
+            report.e2e_history = list(state["e2e_history"])
+            report.unaligned_reads = state["unaligned_reads"]
+            report.reassembled_contigs = state["reassembled_contigs"]
+            report.shaved_contigs = state["shaved_contigs"]
+            resumed_from = int(arts[-1].rsplit("_", 1)[1].split(".")[0])
+
+    remap_needed = False
+    if resumed_from < 0:
+        alns_by_read = _map(graph)
+        report.unaligned_reads = len(read_seqs) - len(alns_by_read)
+        report.end_to_end_before = _count_e2e(graph, alns_by_read)
+        report.e2e_history.append(report.end_to_end_before)
+
+        # reassemble reads that aligned nowhere into new contigs — the
+        # reference runs raven on unaligned reads before the correction loop
+        # (scaffold.cpp:2160-2166)
+        if cfg.reassemble_unaligned:
+            unaligned = {
+                f"u{ridx}": read_seqs[ridx]
+                for ridx in read_seqs
+                if ridx not in alns_by_read and len(read_seqs[ridx]) >= 500
+            }
+            if len(unaligned) >= cfg.min_support:
+                from ..core.assembler import greedy_assemble
+
+                new_contigs = greedy_assemble(unaligned, min_len=cfg.min_unaligned_contig)
+                for k, seq in enumerate(new_contigs):
+                    graph.add_segment(f"reassembled_{k}", seq, depth=0.0)
+                report.reassembled_contigs = len(new_contigs)
+                remap_needed = bool(new_contigs)
+        _checkpoint(0)
+    else:
+        remap_needed = True  # alignments against the checkpoint are not stored
+
+    for it in range(report.iterations, cfg.max_iterations):
         if remap_needed:
             alns_by_read = _map(graph)
             report.e2e_history.append(_count_e2e(graph, alns_by_read))
@@ -440,6 +499,7 @@ def correct_assembly(
         report.iterations += 1
         report.shaved_contigs += shave_and_pop(graph, cfg.shave_dead_end, cfg.pop_bubble)
         remap_needed = True
+        _checkpoint(report.iterations)
 
     # re-map against the corrected assembly for the after-metric and the
     # final coverage cleanup

@@ -448,57 +448,80 @@ struct Graph {
     }
 };
 
-// Align seq (length m) to the graph; returns pairs (node_id, seq_pos), -1 for
-// gaps, in forward order.
+// Align seq (length m) to the graph (semi-global: graph prefix/suffix free,
+// sequence fully consumed); returns pairs (node_id, seq_pos), -1 for gaps,
+// in forward order. Score-matrix-only formulation: moves are re-derived at
+// backtrack from H (checked in a fixed priority order), the left-run
+// dependency is resolved with the prefix-max transform (H - j*gap is
+// monotone under inserts), and single-pred chain nodes — the vast majority —
+// take a branch-free inner loop. ws is a reusable workspace.
+struct AlignWorkspace {
+    std::vector<int32_t> H;
+    std::vector<int32_t> order, rank_of;
+    std::vector<std::pair<int32_t, int32_t>> rev;
+};
+
 static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
                            int32_t match, int32_t mismatch, int32_t gap,
+                           AlignWorkspace& ws,
                            std::vector<std::pair<int32_t, int32_t>>& pairs) {
     pairs.clear();
-    std::vector<int32_t> order = g.topo();
-    int32_t R = (int32_t)order.size();
-    std::vector<int32_t> rank_of(R, 0);
-    for (int32_t r = 0; r < R; r++) rank_of[order[r]] = r;
+    {
+        std::vector<int32_t> t = g.topo();
+        ws.order.assign(t.begin(), t.end());
+    }
+    int32_t R = (int32_t)ws.order.size();
+    ws.rank_of.resize(R);
+    for (int32_t r = 0; r < R; r++) ws.rank_of[ws.order[r]] = r;
     int64_t stride = m + 1;
-    const int32_t NEG = INT32_MIN / 2;
-    // H[(r+1)*stride + j]; row 0 = virtual source (no node consumed)
-    std::vector<int32_t> H((R + 1) * stride);
-    std::vector<int32_t> bp_pred((R + 1) * stride, -1);  // pred rank (or -1 = source)
-    std::vector<int8_t> bp_move((R + 1) * stride, -1);   // 0 diag, 1 node-del, 2 seq-ins
+    ws.H.resize((int64_t)(R + 1) * stride);
+    int32_t* H = ws.H.data();
     for (int64_t j = 0; j <= m; j++) H[j] = (int32_t)(j)*gap;
     for (int32_t r = 0; r < R; r++) {
-        const Node& nd = g.nodes[order[r]];
-        int32_t* row = H.data() + (int64_t)(r + 1) * stride;
-        int32_t* bpr = bp_pred.data() + (int64_t)(r + 1) * stride;
-        int8_t* bmr = bp_move.data() + (int64_t)(r + 1) * stride;
-        // predecessor rows: graph preds, plus the virtual source (free graph
-        // prefix: starting fresh at this node costs nothing)
+        const Node& nd = g.nodes[ws.order[r]];
+        int32_t* row = H + (int64_t)(r + 1) * stride;
+        const int8_t base = nd.base;
         int32_t npred = (int32_t)nd.in.size();
         row[0] = 0;  // free graph prefix, no seq consumed
-        bpr[0] = -2;
-        bmr[0] = -1;
-        (void)NEG;
-        for (int64_t j = 1; j <= m; j++) {
-            int32_t sc = (nd.base == seq[j - 1]) ? match : mismatch;
-            // virtual source: fresh start at this node after j-1 leading
-            // inserts (H row 0 = j*gap), or delete this node from the source
-            int32_t best = H[j - 1] + sc;
-            int32_t bestp = -2;
-            int8_t bestm = 0;
-            int32_t cu0 = H[j] + gap;
-            if (cu0 > best) { best = cu0; bestp = -2; bestm = 1; }
-            for (int32_t pi = 0; pi < npred; pi++) {
-                int32_t pr = rank_of[nd.in[pi].first] + 1;
-                const int32_t* prow = H.data() + (int64_t)pr * stride;
-                int32_t cd = prow[j - 1] + sc;
-                if (cd > best) { best = cd; bestp = pr - 1; bestm = 0; }
+        if (npred == 1) {
+            const int32_t* prow = H + (int64_t)(ws.rank_of[nd.in[0].first] + 1) * stride;
+            // candidates without the left-run: diag/del from the single pred
+            // and from the virtual source (fresh start after j-1 inserts)
+            int32_t run = 0;  // H[j-1] carried through the left-run resolve
+            for (int64_t j = 1; j <= m; j++) {
+                int32_t sc = (base == seq[j - 1]) ? match : mismatch;
+                int32_t cand = prow[j - 1] + sc;
                 int32_t cu = prow[j] + gap;
-                if (cu > best) { best = cu; bestp = pr - 1; bestm = 1; }
+                if (cu > cand) cand = cu;
+                int32_t s0 = (int32_t)(j - 1) * gap + sc;  // source diag
+                if (s0 > cand) cand = s0;
+                int32_t s1 = (int32_t)j * gap + gap;  // source del
+                if (s1 > cand) cand = s1;
+                int32_t ins = run + gap;
+                if (ins > cand) cand = ins;
+                row[j] = cand;
+                run = cand;
             }
-            int32_t ci = row[j - 1] + gap;
-            if (ci > best) { best = ci; bestp = r; bestm = 2; }
-            row[j] = best;
-            bpr[j] = bestm == 2 ? r : bestp;
-            bmr[j] = bestm;
+        } else {
+            int32_t run = 0;
+            for (int64_t j = 1; j <= m; j++) {
+                int32_t sc = (base == seq[j - 1]) ? match : mismatch;
+                int32_t cand = (int32_t)(j - 1) * gap + sc;  // source diag
+                int32_t s1 = (int32_t)j * gap + gap;         // source del
+                if (s1 > cand) cand = s1;
+                for (int32_t pi = 0; pi < npred; pi++) {
+                    const int32_t* prow =
+                        H + (int64_t)(ws.rank_of[nd.in[pi].first] + 1) * stride;
+                    int32_t cd = prow[j - 1] + sc;
+                    if (cd > cand) cand = cd;
+                    int32_t cu = prow[j] + gap;
+                    if (cu > cand) cand = cu;
+                }
+                int32_t ins = run + gap;
+                if (ins > cand) cand = ins;
+                row[j] = cand;
+                run = cand;
+            }
         }
     }
     // free graph suffix: best over all rows at j == m
@@ -507,36 +530,55 @@ static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
         int32_t v = H[(int64_t)(r + 1) * stride + m];
         if (v > best_v) { best_v = v; best_r = r; }
     }
-    // backtrack
+    // backtrack: re-derive the move at each cell (fixed candidate order)
+    auto& rev = ws.rev;
+    rev.clear();
     int32_t r = best_r;
     int64_t j = m;
-    std::vector<std::pair<int32_t, int32_t>> rev;
-    while (j > 0 || r >= 0) {
-        if (r < 0) {
-            // at the virtual source: remaining seq chars are leading inserts
+    while (true) {
+        if (r < 0) {  // at the virtual source: leading inserts remain
             while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
             break;
         }
-        int64_t at = (int64_t)(r + 1) * stride + j;
-        int8_t mv = bp_move[at];
-        int32_t pr = bp_pred[at];
-        if (mv == 0) {
-            rev.push_back({order[r], (int32_t)(j - 1)});
+        const int32_t* row = H + (int64_t)(r + 1) * stride;
+        if (j == 0) break;  // free graph prefix
+        int32_t v = row[j];
+        const Node& nd = g.nodes[ws.order[r]];
+        int32_t sc = (nd.base == seq[j - 1]) ? match : mismatch;
+        // 1. fresh start (source diag), ends the walk
+        if (v == (int32_t)(j - 1) * gap + sc) {
+            rev.push_back({ws.order[r], (int32_t)(j - 1)});
             j--;
-            r = (pr == -2) ? INT32_MIN : pr;  // -2: fresh start, stop at source
-            if (r == INT32_MIN) break;
-        } else if (mv == 1) {
-            rev.push_back({order[r], -1});
-            r = (pr == -2) ? INT32_MIN : pr;
-            if (r == INT32_MIN) break;
-        } else if (mv == 2) {
-            rev.push_back({-1, (int32_t)(j - 1)});
-            j--;
-        } else {
-            break;  // bp_move == -1: at (r, 0) fresh start
+            while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
+            break;
         }
+        // 2. source del
+        if (v == (int32_t)j * gap + gap) {
+            rev.push_back({ws.order[r], -1});
+            while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
+            break;
+        }
+        // 3. graph preds (diag then del, in edge order)
+        int32_t next_r = INT32_MIN;
+        for (auto& e : nd.in) {
+            const int32_t* prow = H + (int64_t)(ws.rank_of[e.first] + 1) * stride;
+            if (v == prow[j - 1] + sc) {
+                rev.push_back({ws.order[r], (int32_t)(j - 1)});
+                j--;
+                next_r = ws.rank_of[e.first];
+                break;
+            }
+            if (v == prow[j] + gap) {
+                rev.push_back({ws.order[r], -1});
+                next_r = ws.rank_of[e.first];
+                break;
+            }
+        }
+        if (next_r != INT32_MIN) { r = next_r; continue; }
+        // 4. insert (stay on this node's row)
+        rev.push_back({-1, (int32_t)(j - 1)});
+        j--;
     }
-    while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
     pairs.assign(rev.rbegin(), rev.rend());
 }
 
@@ -590,10 +632,11 @@ int64_t hs_poa_consensus(const int8_t* seqs, const int64_t* offsets, int64_t n_s
         }
     }
     std::vector<std::pair<int32_t, int32_t>> pairs;
+    poa::AlignWorkspace ws;
     for (int64_t s = 1; s < n_seqs; s++) {
         int64_t lo = offsets[s], hi = offsets[s + 1];
         if (hi <= lo) continue;
-        poa::align_to_graph(g, seqs + lo, hi - lo, match, mismatch, gap, pairs);
+        poa::align_to_graph(g, seqs + lo, hi - lo, match, mismatch, gap, ws, pairs);
         poa::add_alignment(g, seqs + lo, hi - lo, pairs);
     }
     // heaviest path by edge weight (ties: higher upstream score)

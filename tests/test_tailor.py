@@ -164,3 +164,40 @@ def test_last_cleanup_unit():
     dropped = last_cleanup(g, alns, min_coverage=1.0)
     assert dropped == 1 and "nocov" not in g.segments
     assert abs(g.depths["cov"] - 3.0) < 1e-6  # depth rewritten from coverage
+
+
+def test_tailor_checkpoint_resume(rng, tmp_path):
+    """Intra-stage resume: the loop checkpoints the graph per iteration
+    (tailor_iter_<k>.gfa) and a resumed run restarts from the newest
+    checkpoint, converging to the same final assembly as an uninterrupted
+    run (intra-stage analogue of the reference's --resume,
+    hairsplitter.py:456-826)."""
+    import os
+
+    from hairsplitter_tpu.io.gfa import write_gfa
+
+    A = random_genome(4000, rng)
+    B = random_genome(4000, rng)
+    genome = A + B
+    sim = simulate_reads([genome], coverage=12, read_len=2000, rng=rng)
+    asm = AssemblyGraph()
+    asm.add_segment("A", A, depth=12)
+    asm.add_segment("B", B, depth=12)
+    reads = {i: s for i, s in enumerate(sim.seqs)}
+
+    d1 = str(tmp_path / "full")
+    os.makedirs(d1)
+    out_full, rep_full = correct_assembly(asm, reads, artifact_dir=d1)
+    assert os.path.exists(os.path.join(d1, "tailor_iter_0.gfa"))
+    assert os.path.exists(os.path.join(d1, "tailor_state.json"))
+
+    # resume from the artifacts with the ORIGINAL (uncorrected) assembly:
+    # the checkpointed graph must be picked up, not recomputed from scratch
+    out_res, rep_res = correct_assembly(asm, reads, artifact_dir=d1, resume=True)
+    assert set(out_res.segments) == set(out_full.segments)
+    for n in out_full.segments:
+        assert out_res.segments[n] == out_full.segments[n]
+    k_full = {(l.name1, l.orient1, l.name2, l.orient2) for l in out_full.links}
+    k_res = {(l.name1, l.orient1, l.name2, l.orient2) for l in out_res.links}
+    assert k_full == k_res
+    assert rep_res.end_to_end_before == rep_full.end_to_end_before
