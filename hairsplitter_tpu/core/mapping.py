@@ -289,13 +289,25 @@ def map_reads(
     cfg: MapConfig = MapConfig(),
     read_indices: list[int] | None = None,
     index: MinimizerIndex | None = None,
+    restrict: list[str] | None = None,
 ) -> list[Alignment]:
-    """Map every read against the contig set; returns accepted Alignments."""
+    """Map every read against the contig set; returns accepted Alignments.
+
+    restrict: optional per-read target contig name (parallel to read_seqs) —
+    chains on other contigs are dropped. This lets many independent
+    (draft, read group) polish jobs share ONE index and ONE device batch
+    without cross-mapping between homologous drafts."""
     contig_codes = {n: encode_seq(s) for n, s in contigs.items()}
     if index is None:
-        index = MinimizerIndex.build(contig_codes, k=cfg.k, w=cfg.w, max_occ=cfg.max_occ)
+        # with restriction, homologous drafts share minimizers: scale the
+        # repetitiveness cutoff so shared seeds survive the joint index
+        occ = cfg.max_occ * (max(1, len(contigs)) if restrict is not None else 1)
+        index = MinimizerIndex.build(contig_codes, k=cfg.k, w=cfg.w, max_occ=occ)
     if read_indices is None:
         read_indices = list(range(len(read_seqs)))
+    restrict_by_idx = (
+        dict(zip(read_indices, restrict)) if restrict is not None else None
+    )
 
     jobs: list[_Job] = []
     # (read_i, chain, oriented_codes, job span bookkeeping)
@@ -305,9 +317,22 @@ def map_reads(
     dr = cfg.spec.dr
 
     all_codes = [encode_seq(seq) for seq in read_seqs]
-    all_chains = find_chains_batch(index, all_codes, min_anchors=cfg.min_anchors)
+    allowed_cids = None
+    if restrict_by_idx is not None:
+        name_to_cid = {n: i for i, n in enumerate(index.contig_names)}
+        allowed_cids = [
+            name_to_cid.get(restrict_by_idx[ridx], -1) for ridx in read_indices
+        ]
+    all_chains = find_chains_batch(
+        index, all_codes, min_anchors=cfg.min_anchors, allowed_cids=allowed_cids
+    )
     for ridx, codes, read_chains in zip(read_indices, all_codes, all_chains):
         for chain in read_chains:
+            if (
+                restrict_by_idx is not None
+                and index.contig_names[chain.contig_id] != restrict_by_idx[ridx]
+            ):
+                continue
             oriented = codes if chain.strand == 1 else revcomp_codes(codes)
             tcodes = contig_codes[index.contig_names[chain.contig_id]]
             pins = select_pins(chain.q_anchors, chain.t_anchors, cfg)
@@ -418,7 +443,17 @@ def map_reads(
             rcfg = replace(cfg, k=cfg.rescue_k, w=cfg.rescue_w, rescue=False)
             by_idx = dict(zip(read_indices, read_seqs))
             alignments.extend(
-                map_reads(contigs, [by_idx[i] for i in unmapped], rcfg, read_indices=unmapped)
+                map_reads(
+                    contigs,
+                    [by_idx[i] for i in unmapped],
+                    rcfg,
+                    read_indices=unmapped,
+                    restrict=(
+                        [restrict_by_idx[i] for i in unmapped]
+                        if restrict_by_idx is not None
+                        else None
+                    ),
+                )
             )
     return alignments
 

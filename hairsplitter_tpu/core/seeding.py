@@ -265,10 +265,16 @@ def find_chains_batch(
     min_anchors: int = 4,
     min_score_frac: float = 0.1,
     max_overlap_frac: float = 0.5,
+    allowed_cids: list[int] | None = None,
 ) -> list[list[Chain]]:
     """`find_chains` over many reads with ONE concatenated index lookup —
     the per-read searchsorted calls dominate the host seeding cost
-    otherwise. Bit-identical to calling find_chains per read."""
+    otherwise. Bit-identical to calling find_chains per read.
+
+    allowed_cids: optional per-read contig-id restriction. Hits on other
+    contigs are dropped BEFORE chaining, so secondary-chain suppression
+    cannot discard the allowed contig in favor of a better-scoring
+    homologous one (the multi-draft polish case)."""
     minis = [minimizers(c, index.k, index.w) for c in reads_codes]
     sizes = np.array([m[1].size for m in minis], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)])
@@ -281,16 +287,25 @@ def find_chains_batch(
     out: list[list[Chain]] = []
     for r, (p, _h, s) in enumerate(minis):
         lo, hi = bounds[r], bounds[r + 1]
+        qi, ci, tp, ts = (
+            qidx[lo:hi] - offsets[r],
+            cid[lo:hi],
+            tpos[lo:hi],
+            tstr[lo:hi],
+        )
+        if allowed_cids is not None and allowed_cids[r] >= 0:
+            keep = ci == allowed_cids[r]
+            qi, ci, tp, ts = qi[keep], ci[keep], tp[keep], ts[keep]
         out.append(
             _chains_from_hits(
                 index,
                 len(reads_codes[r]),
                 p,
                 s,
-                qidx[lo:hi] - offsets[r],
-                cid[lo:hi],
-                tpos[lo:hi],
-                tstr[lo:hi],
+                qi,
+                ci,
+                tp,
+                ts,
                 min_anchors,
                 min_score_frac,
                 max_overlap_frac,

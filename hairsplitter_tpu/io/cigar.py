@@ -34,8 +34,17 @@ def parse_cigar(cig: str) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(ops, dtype=np.int8), np.asarray(lens, dtype=np.int32)
 
 
+_LEN_STRS = [str(i) for i in range(512)]  # SAM writing hot path: cached run lengths
+
+
 def cigar_to_string(ops: np.ndarray, lens: np.ndarray) -> str:
-    return "".join(f"{int(l)}{OPS[int(o)]}" for o, l in zip(ops, lens) if l > 0)
+    return "".join(
+        [
+            (_LEN_STRS[l] if l < 512 else str(l)) + OPS[o]
+            for o, l in zip(np.asarray(ops).tolist(), np.asarray(lens).tolist())
+            if l > 0
+        ]
+    )
 
 
 def expand_cigar(ops: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -110,6 +110,21 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int64,
     ]
+    lib.hs_poa_consensus_batch.restype = ctypes.c_int64
+    lib.hs_poa_consensus_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
     lib.hs_expand_rows.restype = ctypes.c_int64
     lib.hs_expand_rows.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -256,6 +271,63 @@ def poa_consensus(
     if n < 0:
         return None
     return out[:n]
+
+
+def poa_consensus_batch(
+    windows: list[list[np.ndarray]],
+    match: int = 3,
+    mismatch: int = -5,
+    gap: int = -4,
+    min_covs: list[int] | None = None,
+    n_threads: int | None = None,
+) -> list[np.ndarray | None] | None:
+    """POA consensus over many independent windows in one native call,
+    striped across host threads (each window = one `poa_consensus` job,
+    identical results). None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hs_poa_consensus_batch"):
+        return None
+    W = len(windows)
+    if W == 0:
+        return []
+    layers: list[np.ndarray] = []
+    win_layer_off = np.zeros(W + 1, dtype=np.int64)
+    for w, ls in enumerate(windows):
+        layers.extend(np.ascontiguousarray(s, dtype=np.int8) for s in ls)
+        win_layer_off[w + 1] = win_layer_off[w] + len(ls)
+    flat = np.concatenate(layers) if layers else np.zeros(0, dtype=np.int8)
+    offsets = np.zeros(len(layers) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in layers], out=offsets[1:])
+    covs = np.asarray(
+        min_covs if min_covs is not None else [0] * W, dtype=np.int32
+    )
+    out_off = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(
+        [int(offsets[win_layer_off[w + 1]] - offsets[win_layer_off[w]]) + 16 for w in range(W)],
+        out=out_off[1:],
+    )
+    out = np.empty(int(out_off[-1]), dtype=np.int8)
+    out_lens = np.empty(W, dtype=np.int64)
+    if n_threads is None:
+        n_threads = min(int(os.environ.get("HS_THREADS", "0")) or (os.cpu_count() or 1), W)
+    lib.hs_poa_consensus_batch(
+        _ptr(flat, ctypes.c_int8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(win_layer_off, ctypes.c_int64),
+        W,
+        int(match),
+        int(mismatch),
+        int(gap),
+        _ptr(covs, ctypes.c_int32),
+        _ptr(out, ctypes.c_int8),
+        _ptr(out_off, ctypes.c_int64),
+        _ptr(out_lens, ctypes.c_int64),
+        int(n_threads),
+    )
+    return [
+        (out[out_off[w] : out_off[w] + out_lens[w]].copy() if out_lens[w] >= 0 else None)
+        for w in range(W)
+    ]
 
 
 def expand_rows(toks: np.ndarray, meta: np.ndarray, qb: np.ndarray, tb: np.ndarray, dl: int):

@@ -79,49 +79,110 @@ def polish_poa(
     device mapper, POA-consensus each window, concatenate; iterate.
 
     Falls back to the pileup-vote polish when the native library is absent."""
+    return polish_poa_multi([draft], [reads], rounds=rounds, window=window,
+                            map_cfg=map_cfg, min_len=min_len)[0]
+
+
+def polish_poa_multi(
+    drafts: list[str],
+    read_lists: list[list[str]],
+    rounds: int = 1,
+    window: int = 500,
+    map_cfg=None,
+    min_len: int = 300,
+) -> list[str]:
+    """racon-equivalent polish of MANY independent (draft, read group) jobs
+    per round: one restricted device mapping call covers every group's remap
+    (each read pinned to its own draft so homologous haplotype drafts don't
+    cross-map), and every group's windows go through one threaded native POA
+    batch. Per-group results match :func:`polish_poa` up to seed-occurrence
+    filtering in the shared minimizer index."""
     if not poa_available():
         from .consensus import polish_iterative
 
-        return polish_iterative(draft, reads, rounds=rounds, map_cfg=map_cfg, min_len=min_len)
+        return [
+            polish_iterative(d, rs, rounds=rounds, map_cfg=map_cfg, min_len=min_len)
+            for d, rs in zip(drafts, read_lists)
+        ]
     from ..core.mapping import MapConfig, map_reads
     from ..pipeline.pileup import orient_read
 
-    cur = draft
-    if len(cur) < min_len or not reads:
-        return cur
     cfg = map_cfg or MapConfig()
-    codes = [encode_seq(r) for r in reads]
+    cur = list(drafts)
+    G = len(cur)
+    active = [len(cur[g]) >= min_len and bool(read_lists[g]) for g in range(G)]
+    flat_codes_cache: dict[int, list[np.ndarray]] = {}
     min_frag = max(8, int(MIN_FRAG_FRACTION * window))
     for _ in range(rounds):
-        alns = map_reads({"d": cur}, reads, cfg)
-        if not alns:
+        act = [g for g in range(G) if active[g]]
+        if not act:
             break
-        dcodes = encode_seq(cur)
-        L = len(dcodes)
-        nwin = (L + window - 1) // window
-        frags: list[list[np.ndarray]] = [[] for _ in range(nwin)]
+        contigs = {f"d{g}": cur[g] for g in act}
+        flat_reads: list[str] = []
+        flat_codes: list[np.ndarray] = []
+        owner: list[int] = []
+        restrict: list[str] = []
+        for g in act:
+            if g not in flat_codes_cache:
+                flat_codes_cache[g] = [encode_seq(r) for r in read_lists[g]]
+            flat_reads.extend(read_lists[g])
+            flat_codes.extend(flat_codes_cache[g])
+            owner.extend([g] * len(read_lists[g]))
+            restrict.extend([f"d{g}"] * len(read_lists[g]))
+        alns = map_reads(contigs, flat_reads, cfg, restrict=restrict)
+
+        dcodes = {g: encode_seq(cur[g]) for g in act}
+        nwin = {g: (len(dcodes[g]) + window - 1) // window for g in act}
+        frags: dict[int, list[list[np.ndarray]]] = {
+            g: [[] for _ in range(nwin[g])] for g in act
+        }
+        seen_alns = {g: False for g in act}
         for a in alns:
-            oriented = orient_read(codes[a.read_idx], a.strand)
+            g = owner[a.read_idx]
+            seen_alns[g] = True
+            L = len(dcodes[g])
+            oriented = orient_read(flat_codes[a.read_idx], a.strand)
             w_first, cuts = _window_cuts(a, len(oriented), window, L)
             for i in range(len(cuts) - 1):
                 w = w_first + i
-                if w >= nwin:
+                if w >= nwin[g]:
                     break
                 lo, hi = int(cuts[i]), int(cuts[i + 1])
                 if hi - lo >= min_frag:
-                    frags[w].append(oriented[lo:hi])
-        pieces: list[np.ndarray] = []
-        for w in range(nwin):
-            backbone = dcodes[w * window : min(L, (w + 1) * window)]
-            layers = frags[w]
-            if len(layers) < 2:  # racon: windows with <3 layers keep the backbone
-                pieces.append(backbone)
+                    frags[g][w].append(oriented[lo:hi])
+        # collect every group's POA windows into one threaded native batch
+        pieces: dict[int, list[np.ndarray | None]] = {g: [None] * nwin[g] for g in act}
+        jobs: list[list[np.ndarray]] = []
+        job_key: list[tuple[int, int]] = []
+        job_cov: list[int] = []
+        for g in act:
+            L = len(dcodes[g])
+            for w in range(nwin[g]):
+                backbone = dcodes[g][w * window : min(L, (w + 1) * window)]
+                layers = frags[g][w]
+                if len(layers) < 2:  # racon: windows with <3 layers keep the backbone
+                    pieces[g][w] = backbone
+                    continue
+                jobs.append([backbone] + layers)
+                job_key.append((g, w))
+                job_cov.append(max(0, len(layers) // 2))  # racon's window coverage trim
+        if jobs:
+            res = native.poa_consensus_batch(
+                jobs, POA_MATCH, POA_MISMATCH, POA_GAP, min_covs=job_cov
+            )
+            if res is None:
+                res = [poa_consensus_codes(ls, min_cov=c) for ls, c in zip(jobs, job_cov)]
+            for (g, w), cons in zip(job_key, res):
+                L = len(dcodes[g])
+                backbone = dcodes[g][w * window : min(L, (w + 1) * window)]
+                pieces[g][w] = cons if cons is not None and cons.size else backbone
+        for g in act:
+            if not seen_alns[g]:
+                active[g] = False
                 continue
-            min_cov = max(0, len(layers) // 2)  # racon's window coverage trim
-            cons = poa_consensus_codes([backbone] + layers, min_cov=min_cov)
-            pieces.append(cons if cons is not None and cons.size else backbone)
-        new = "".join("ACGT-N"[c] for c in np.concatenate(pieces) if c < 4)
-        if new == cur or len(new) < min_len:
-            break
-        cur = new
+            new = "".join("ACGT-N"[c] for c in np.concatenate(pieces[g]) if c < 4)
+            if new == cur[g] or len(new) < min_len:
+                active[g] = False
+            else:
+                cur[g] = new
     return cur

@@ -337,13 +337,26 @@ class ContigPrep:
         return self.mismatches / max(1, self.cells)
 
 
-def prepare_contig(
+@dataclass
+class PendingPrep:
+    """Host half of contig preparation: window blocks awaiting column stats."""
+
+    prep: ContigPrep
+    blocks: list
+    codes_ws: list[np.ndarray]
+    buckets: list[int]
+
+
+def prepare_contig_host(
     contig_name: str,
     contig_seq: str,
     alignments: list[Alignment],
     read_seqs: dict[int, str],
     cfg: VariantCallConfig = VariantCallConfig(),
-) -> ContigPrep:
+) -> PendingPrep:
+    """Host-side pileup tensorization of one contig (threadable); the column
+    stats run later in :func:`finish_preps` so the device work of *all*
+    contigs batches into a few calls."""
     contig_codes = encode_seq(contig_seq)
     oriented = [
         orient_read(encode_seq(read_seqs[a.read_idx]), a.strand) for a in alignments
@@ -356,44 +369,80 @@ def prepare_contig(
         mismatches=0,
         cells=0,
     )
-    # static-shape bucket on the ragged read axis: one compile per bucket,
-    # not per distinct read count (absent-trimer rows are no-ops); below the
-    # bucket floor the numpy twins win over device dispatch latency.  All
-    # device-eligible blocks go in ONE batched call (one dispatch + one pull
-    # per contig instead of two per block — the per-pull sync dominates on a
-    # tunneled chip).
     codes_ws: list[np.ndarray] = []
     for blk in blocks:
         codes_w = np.full(cfg.window, 5, dtype=np.int8)
         codes_w[: blk.length] = contig_codes[blk.start : blk.start + blk.length]
         codes_ws.append(codes_w)
+    # static-shape bucket on the ragged read axis: one compile per bucket,
+    # not per distinct read count (absent-trimer rows are no-ops); below the
+    # bucket floor the numpy twins win over device dispatch latency.
     buckets = [pow2_bucket(blk.tri.shape[0], minimum=32) for blk in blocks]
-    dev_idx = [i for i, rb in enumerate(buckets) if rb >= cfg.device_min_rows]
-    results: dict[int, tuple] = {}
-    if dev_idx:
-        rbmax = max(buckets[i] for i in dev_idx)
-        tri_p = np.stack(
-            [pad_axis(blocks[i].tri, 0, rbmax, TRIMER_ABSENT) for i in dev_idx]
-        )
-        codes_p = np.stack([codes_ws[i] for i in dev_idx])
-        tc_b, tn_b, cov_b, mm_b, cc_b = _window_stats_batch(tri_p, codes_p)
-        tc_b, tn_b, cov_b, mm_b, cc_b = (
-            np.asarray(a) for a in (tc_b, tn_b, cov_b, mm_b, cc_b)
-        )
-        for bi, i in enumerate(dev_idx):
-            results[i] = (tc_b[bi], tn_b[bi], cov_b[bi], mm_b[bi], cc_b[bi])
-    for i, blk in enumerate(blocks):
-        if i in results:
-            tc, tn, cov, mm, cc = results[i]
-        else:
-            from ..ops.variants import column_stats_host, window_error_stats_host
+    return PendingPrep(prep=prep, blocks=blocks, codes_ws=codes_ws, buckets=buckets)
 
-            tc, tn, cov = column_stats_host(blk.tri)
-            mm, cc = window_error_stats_host(blk.tri, codes_ws[i])
-        prep.mismatches += int(mm)
-        prep.cells += int(cc)
-        prep.win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))
-    return prep
+
+def finish_preps(
+    pending: list[PendingPrep],
+    cfg: VariantCallConfig = VariantCallConfig(),
+) -> dict[str, ContigPrep]:
+    """Column stats for every pending contig: device-eligible blocks of ALL
+    contigs are grouped by row bucket and dispatched in a handful of batched
+    device calls (the per-call sync dominates on a tunneled chip — this is
+    the cross-contig generalization of the old one-call-per-contig batching).
+    Sub-threshold blocks use the numpy twins."""
+    by_bucket: dict[int, list[tuple[int, int]]] = {}  # rb -> [(pending idx, block idx)]
+    for pi, pp in enumerate(pending):
+        for i, rb in enumerate(pp.buckets):
+            if rb >= cfg.device_min_rows:
+                by_bucket.setdefault(rb, []).append((pi, i))
+    results: dict[tuple[int, int], tuple] = {}
+    for rb in sorted(by_bucket):
+        jobs = by_bucket[rb]
+        # bucket the block axis too (dummy all-absent blocks are no-ops) so
+        # compile count stays bounded; chunk to cap device memory
+        CHUNK = 256
+        for lo in range(0, len(jobs), CHUNK):
+            part = jobs[lo : lo + CHUNK]
+            nb = pow2_bucket(len(part), minimum=1)
+            tri_p = np.full((nb, rb, cfg.window), TRIMER_ABSENT, dtype=np.int8)
+            codes_p = np.full((nb, cfg.window), 5, dtype=np.int8)
+            for bi, (pi, i) in enumerate(part):
+                blk = pending[pi].blocks[i]
+                tri_p[bi, : blk.tri.shape[0]] = blk.tri
+                codes_p[bi] = pending[pi].codes_ws[i]
+            tc_b, tn_b, cov_b, mm_b, cc_b = _window_stats_batch(tri_p, codes_p)
+            tc_b, tn_b, cov_b, mm_b, cc_b = (
+                np.asarray(a) for a in (tc_b, tn_b, cov_b, mm_b, cc_b)
+            )
+            for bi, key in enumerate(part):
+                results[key] = (tc_b[bi], tn_b[bi], cov_b[bi], mm_b[bi], cc_b[bi])
+    out: dict[str, ContigPrep] = {}
+    for pi, pp in enumerate(pending):
+        prep = pp.prep
+        for i, blk in enumerate(pp.blocks):
+            if (pi, i) in results:
+                tc, tn, cov, mm, cc = results[(pi, i)]
+            else:
+                from ..ops.variants import column_stats_host, window_error_stats_host
+
+                tc, tn, cov = column_stats_host(blk.tri)
+                mm, cc = window_error_stats_host(blk.tri, pp.codes_ws[i])
+            prep.mismatches += int(mm)
+            prep.cells += int(cc)
+            prep.win_stats.append((blk, np.asarray(tc), np.asarray(tn), np.asarray(cov)))
+        out[prep.contig] = prep
+    return out
+
+
+def prepare_contig(
+    contig_name: str,
+    contig_seq: str,
+    alignments: list[Alignment],
+    read_seqs: dict[int, str],
+    cfg: VariantCallConfig = VariantCallConfig(),
+) -> ContigPrep:
+    pp = prepare_contig_host(contig_name, contig_seq, alignments, read_seqs, cfg)
+    return finish_preps([pp], cfg)[contig_name]
 
 
 @functools.lru_cache(maxsize=None)

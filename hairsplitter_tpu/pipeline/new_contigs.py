@@ -147,6 +147,10 @@ def create_new_contigs(
     new_graph = AssemblyGraph()
     summary: list[str] = []
     zips: dict[str, ContigZip] = {}
+    # POA polish jobs deferred across ALL contigs/groups: one restricted
+    # device mapping + one threaded native POA batch per round (ops/poa.py:
+    # polish_poa_multi) instead of a device round-trip per group
+    poa_jobs: list[tuple[str, str, list[str]]] = []  # (segment, draft, reads)
 
     for contig, seq in assembly.segments.items():
         alns, groups = per_contig.get(contig, ([], None))
@@ -227,9 +231,7 @@ def create_new_contigs(
                     if polish_rounds > 0:
                         group_reads = [read_seqs[alns[r].read_idx] for r in rows]
                         if polish_mode == "poa":
-                            from ..ops.poa import polish_poa
-
-                            seq_g = polish_poa(seq_g, group_reads, rounds=polish_rounds)
+                            poa_jobs.append((name, seq_g, group_reads))
                         else:
                             from ..ops.consensus import polish_iterative
 
@@ -267,6 +269,17 @@ def create_new_contigs(
                         new_graph.add_link(
                             Link(cz.names[(iv1.start, g1)], "+", cz.names[(iv2.start, g2)], "+")
                         )
+
+    if poa_jobs:
+        from ..ops.poa import polish_poa_multi
+
+        polished = polish_poa_multi(
+            [d for _, d, _ in poa_jobs],
+            [rs for _, _, rs in poa_jobs],
+            rounds=polish_rounds,
+        )
+        for (name, _, _), seq_p in zip(poa_jobs, polished):
+            new_graph.segments[name] = seq_p
 
     # original inter-contig links -> attach to terminal interval groups
     for l in assembly.links:

@@ -35,7 +35,8 @@ from .call_variants import (
     ContigVariants,
     VariantCallConfig,
     call_variants_from_prep,
-    prepare_contig,
+    finish_preps,
+    prepare_contig_host,
 )
 from .new_contigs import create_new_contigs, write_gaf
 from .separate_reads import ContigGroups, SeparateConfig, separate_reads_for_contig
@@ -317,16 +318,22 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     if variants is None:
         log.log("STAGE 3 calling variants")
         t0 = time.time()
-        preps = dict(
-            _contig_map(
+        # host pileup tensorization per contig (threaded), then ONE batched
+        # device pass over every contig's window blocks (finish_preps)
+        pending = [
+            pp
+            for _, pp in _contig_map(
                 cfg.threads,
                 assembly.segments.items(),
                 lambda item: (
                     item[0],
-                    prepare_contig(item[0], item[1], per_contig_alns[item[0]], read_seqs, vcfg),
+                    prepare_contig_host(
+                        item[0], item[1], per_contig_alns[item[0]], read_seqs, vcfg
+                    ),
                 ),
             )
-        )
+        ]
+        preps = finish_preps(pending, vcfg)
         total_mm = sum(p.mismatches for p in preps.values())
         total_cells = sum(p.cells for p in preps.values())
         error_rate = min(total_mm / max(1, total_cells), vcfg.error_cap)

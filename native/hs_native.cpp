@@ -13,9 +13,16 @@
 // Exposed with a plain C ABI for ctypes; built by native/Makefile.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -401,6 +408,8 @@ int64_t hs_expand_rows(const uint8_t* toks, const int32_t* meta,
 // where node support falls below half the layer count (racon's window
 // coverage trim).
 
+}  // extern "C" (resumed after the POA templates, which need C++ linkage)
+
 namespace poa {
 
 struct Node {
@@ -455,15 +464,136 @@ struct Graph {
 // dependency is resolved with the prefix-max transform (H - j*gap is
 // monotone under inserts), and single-pred chain nodes — the vast majority —
 // take a branch-free inner loop. ws is a reusable workspace.
+template <typename ST>
 struct AlignWorkspace {
-    std::vector<int32_t> H;
+    std::vector<ST> H;
     std::vector<int32_t> order, rank_of;
     std::vector<std::pair<int32_t, int32_t>> rev;
+    std::vector<ST> sb;  // [6][m] per-base substitution scores
+    std::vector<ST> jg;  // j*gap, j = 0..m+1
 };
 
+// Left insert-run scan: row[j] = max(row[j], row[j-1] + gap), row[0] = 0.
+// Equivalent max-plus prefix: with b[j] = row[j] - j*gap (b[0] = -jg[0] = 0),
+// row[j] = jg[j] + prefix_max(b)[j] — a blockwise-parallel form the AVX2
+// path exploits (3 shifted maxes per 8 lanes + a carried block max).
+static inline void run_scan(int32_t* row, const int32_t* jg, int64_t m, int32_t gap) {
+    int64_t j = 1;
+#if defined(__AVX512F__)
+    if (m >= 32) {
+        const __m512i minv = _mm512_set1_epi32(INT32_MIN);
+        const __m512i bidx = _mm512_set1_epi32(15);
+        __m512i vcarry = _mm512_setzero_si512();  // running prefix max of b
+        for (; j + 15 <= m; j += 16) {
+            __m512i vr = _mm512_loadu_si512((const void*)(row + j));
+            __m512i vj = _mm512_loadu_si512((const void*)(jg + j));
+            __m512i b = _mm512_sub_epi32(vr, vj);
+            b = _mm512_max_epi32(b, _mm512_alignr_epi32(b, minv, 15));
+            b = _mm512_max_epi32(b, _mm512_alignr_epi32(b, minv, 14));
+            b = _mm512_max_epi32(b, _mm512_alignr_epi32(b, minv, 12));
+            b = _mm512_max_epi32(b, _mm512_alignr_epi32(b, minv, 8));
+            b = _mm512_max_epi32(b, vcarry);
+            vcarry = _mm512_permutexvar_epi32(bidx, b);
+            _mm512_storeu_si512((void*)(row + j), _mm512_add_epi32(b, vj));
+        }
+        int32_t run = _mm_cvtsi128_si32(_mm512_castsi512_si128(vcarry)) + jg[j - 1];
+        for (; j <= m; j++) {
+            int32_t v = row[j];
+            int32_t ins = run + gap;
+            run = v > ins ? v : ins;
+            row[j] = run;
+        }
+        return;
+    }
+#endif
+#if defined(__AVX2__)
+    if (m >= 16) {
+        const __m256i minv = _mm256_set1_epi32(INT32_MIN);
+        __m256i vcarry = _mm256_setzero_si256();  // running prefix max of b
+        for (; j + 7 <= m; j += 8) {
+            __m256i vr = _mm256_loadu_si256((const __m256i*)(row + j));
+            __m256i vj = _mm256_loadu_si256((const __m256i*)(jg + j));
+            __m256i b = _mm256_sub_epi32(vr, vj);
+            b = _mm256_max_epi32(b, _mm256_alignr_epi8(b, minv, 12));
+            b = _mm256_max_epi32(b, _mm256_alignr_epi8(b, minv, 8));
+            // propagate the low 128-lane's last prefix into the high lane
+            __m256i t = _mm256_shuffle_epi32(b, 0xFF);
+            __m256i lo = _mm256_permute2x128_si256(t, t, 0x00);
+            lo = _mm256_blend_epi32(lo, minv, 0x0F);
+            b = _mm256_max_epi32(b, lo);
+            b = _mm256_max_epi32(b, vcarry);
+            __m256i t2 = _mm256_shuffle_epi32(b, 0xFF);
+            vcarry = _mm256_permute2x128_si256(t2, t2, 0x11);
+            _mm256_storeu_si256((__m256i*)(row + j), _mm256_add_epi32(b, vj));
+        }
+        int32_t run = _mm256_extract_epi32(vcarry, 0) + jg[j - 1];
+        for (; j <= m; j++) {
+            int32_t v = row[j];
+            int32_t ins = run + gap;
+            run = v > ins ? v : ins;
+            row[j] = run;
+        }
+        return;
+    }
+#endif
+    int32_t run = 0;
+    for (; j <= m; j++) {
+        int32_t v = row[j];
+        int32_t ins = run + gap;
+        run = v > ins ? v : ins;
+        row[j] = run;
+    }
+}
+
+// int16 variant of the scan (values are exact in int16 by the caller's
+// range guard, so max/add never saturate on real candidates).
+static inline void run_scan(int16_t* row, const int16_t* jg, int64_t m, int32_t gap) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    if (m >= 32) {
+        const __m256i minv = _mm256_set1_epi16(INT16_MIN);
+        const __m256i bc7 = _mm256_set1_epi16(0x0F0E);  // per-lane elem-7 broadcast
+        __m256i vcarry = _mm256_setzero_si256();        // running prefix max of b
+        for (; j + 15 <= m; j += 16) {
+            __m256i vr = _mm256_loadu_si256((const __m256i*)(row + j));
+            __m256i vj = _mm256_loadu_si256((const __m256i*)(jg + j));
+            __m256i b = _mm256_sub_epi16(vr, vj);
+            b = _mm256_max_epi16(b, _mm256_alignr_epi8(b, minv, 14));
+            b = _mm256_max_epi16(b, _mm256_alignr_epi8(b, minv, 12));
+            b = _mm256_max_epi16(b, _mm256_alignr_epi8(b, minv, 8));
+            // propagate the low 128-lane's last prefix into the high lane
+            __m256i t = _mm256_shuffle_epi8(b, bc7);
+            __m256i lo = _mm256_permute2x128_si256(t, t, 0x00);
+            lo = _mm256_blend_epi32(lo, minv, 0x0F);
+            b = _mm256_max_epi16(b, lo);
+            b = _mm256_max_epi16(b, vcarry);
+            __m256i t2 = _mm256_shuffle_epi8(b, bc7);
+            vcarry = _mm256_permute2x128_si256(t2, t2, 0x11);
+            _mm256_storeu_si256((__m256i*)(row + j), _mm256_add_epi16(b, vj));
+        }
+        int32_t run = (int16_t)_mm256_extract_epi16(vcarry, 0) + (int32_t)jg[j - 1];
+        for (; j <= m; j++) {
+            int32_t v = row[j];
+            int32_t ins = run + gap;
+            run = v > ins ? v : ins;
+            row[j] = (int16_t)run;
+        }
+        return;
+    }
+#endif
+    int32_t run = 0;
+    for (; j <= m; j++) {
+        int32_t v = row[j];
+        int32_t ins = run + gap;
+        run = v > ins ? v : ins;
+        row[j] = (int16_t)run;
+    }
+}
+
+template <typename ST>
 static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
                            int32_t match, int32_t mismatch, int32_t gap,
-                           AlignWorkspace& ws,
+                           AlignWorkspace<ST>& ws,
                            std::vector<std::pair<int32_t, int32_t>>& pairs) {
     pairs.clear();
     {
@@ -475,59 +605,70 @@ static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
     for (int32_t r = 0; r < R; r++) ws.rank_of[ws.order[r]] = r;
     int64_t stride = m + 1;
     ws.H.resize((int64_t)(R + 1) * stride);
-    int32_t* H = ws.H.data();
-    for (int64_t j = 0; j <= m; j++) H[j] = (int32_t)(j)*gap;
+    ST* H = ws.H.data();
+    for (int64_t j = 0; j <= m; j++) H[j] = (ST)((int32_t)j * gap);
+    // hoisted per-row constants: sb[b][j] = subst score of base b at seq[j],
+    // jg[j] = j*gap (both affine streams the fill loops read contiguously)
+    ws.sb.resize(6 * m);
+    for (int32_t b = 0; b < 6; b++) {
+        ST* row = ws.sb.data() + (int64_t)b * m;
+        for (int64_t j = 0; j < m; j++) row[j] = (ST)((seq[j] == b) ? match : mismatch);
+    }
+    ws.jg.resize(m + 2);
+    for (int64_t j = 0; j <= m + 1; j++) ws.jg[j] = (ST)((int32_t)j * gap);
+    const ST* jg = ws.jg.data();
+    const ST gapS = (ST)gap;
     for (int32_t r = 0; r < R; r++) {
         const Node& nd = g.nodes[ws.order[r]];
-        int32_t* row = H + (int64_t)(r + 1) * stride;
-        const int8_t base = nd.base;
+        ST* row = H + (int64_t)(r + 1) * stride;
+        const int32_t bb = nd.base >= 0 && nd.base < 6 ? nd.base : 5;
+        const ST* sb = ws.sb.data() + (int64_t)bb * m;
         int32_t npred = (int32_t)nd.in.size();
         row[0] = 0;  // free graph prefix, no seq consumed
+        // Two-pass fill, identical H to the sequential recurrence: the
+        // insert-run candidate row[j-1]+gap distributes over the max, so
+        // pass 1 computes every run-free candidate (vectorizes: affine
+        // loads + vpmaxs[dw]) and pass 2 is the max-plus left scan.
         if (npred == 1) {
-            const int32_t* prow = H + (int64_t)(ws.rank_of[nd.in[0].first] + 1) * stride;
-            // candidates without the left-run: diag/del from the single pred
-            // and from the virtual source (fresh start after j-1 inserts)
-            int32_t run = 0;  // H[j-1] carried through the left-run resolve
+            const ST* prow = H + (int64_t)(ws.rank_of[nd.in[0].first] + 1) * stride;
+            // pred diag/del + virtual source (fresh start after j-1 inserts)
             for (int64_t j = 1; j <= m; j++) {
-                int32_t sc = (base == seq[j - 1]) ? match : mismatch;
-                int32_t cand = prow[j - 1] + sc;
-                int32_t cu = prow[j] + gap;
-                if (cu > cand) cand = cu;
-                int32_t s0 = (int32_t)(j - 1) * gap + sc;  // source diag
-                if (s0 > cand) cand = s0;
-                int32_t s1 = (int32_t)j * gap + gap;  // source del
-                if (s1 > cand) cand = s1;
-                int32_t ins = run + gap;
-                if (ins > cand) cand = ins;
+                ST sc = sb[j - 1];
+                ST cand = (ST)(prow[j - 1] + sc);
+                ST cu = (ST)(prow[j] + gapS);
+                cand = cu > cand ? cu : cand;
+                ST s0 = (ST)(jg[j - 1] + sc);  // source diag
+                cand = s0 > cand ? s0 : cand;
+                ST s1 = jg[j + 1];  // source del (j*gap + gap)
+                cand = s1 > cand ? s1 : cand;
                 row[j] = cand;
-                run = cand;
             }
         } else {
-            int32_t run = 0;
             for (int64_t j = 1; j <= m; j++) {
-                int32_t sc = (base == seq[j - 1]) ? match : mismatch;
-                int32_t cand = (int32_t)(j - 1) * gap + sc;  // source diag
-                int32_t s1 = (int32_t)j * gap + gap;         // source del
-                if (s1 > cand) cand = s1;
-                for (int32_t pi = 0; pi < npred; pi++) {
-                    const int32_t* prow =
-                        H + (int64_t)(ws.rank_of[nd.in[pi].first] + 1) * stride;
-                    int32_t cd = prow[j - 1] + sc;
-                    if (cd > cand) cand = cd;
-                    int32_t cu = prow[j] + gap;
-                    if (cu > cand) cand = cu;
+                ST sc = sb[j - 1];
+                ST cand = (ST)(jg[j - 1] + sc);  // source diag
+                ST s1 = jg[j + 1];               // source del
+                row[j] = s1 > cand ? s1 : cand;
+            }
+            for (int32_t pi = 0; pi < npred; pi++) {
+                const ST* prow =
+                    H + (int64_t)(ws.rank_of[nd.in[pi].first] + 1) * stride;
+                for (int64_t j = 1; j <= m; j++) {
+                    ST cand = row[j];
+                    ST cd = (ST)(prow[j - 1] + sb[j - 1]);
+                    cand = cd > cand ? cd : cand;
+                    ST cu = (ST)(prow[j] + gapS);
+                    cand = cu > cand ? cu : cand;
+                    row[j] = cand;
                 }
-                int32_t ins = run + gap;
-                if (ins > cand) cand = ins;
-                row[j] = cand;
-                run = cand;
             }
         }
+        run_scan(row, jg, m, gap);
     }
     // free graph suffix: best over all rows at j == m
-    int32_t best_r = -1, best_v = H[m];
+    int32_t best_r = -1, best_v = (int32_t)H[m];
     for (int32_t r = 0; r < R; r++) {
-        int32_t v = H[(int64_t)(r + 1) * stride + m];
+        int32_t v = (int32_t)H[(int64_t)(r + 1) * stride + m];
         if (v > best_v) { best_v = v; best_r = r; }
     }
     // backtrack: re-derive the move at each cell (fixed candidate order)
@@ -540,9 +681,9 @@ static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
             while (j > 0) { rev.push_back({-1, (int32_t)(j - 1)}); j--; }
             break;
         }
-        const int32_t* row = H + (int64_t)(r + 1) * stride;
+        const ST* row = H + (int64_t)(r + 1) * stride;
         if (j == 0) break;  // free graph prefix
-        int32_t v = row[j];
+        int32_t v = (int32_t)row[j];
         const Node& nd = g.nodes[ws.order[r]];
         int32_t sc = (nd.base == seq[j - 1]) ? match : mismatch;
         // 1. fresh start (source diag), ends the walk
@@ -561,7 +702,7 @@ static void align_to_graph(const Graph& g, const int8_t* seq, int64_t m,
         // 3. graph preds (diag then del, in edge order)
         int32_t next_r = INT32_MIN;
         for (auto& e : nd.in) {
-            const int32_t* prow = H + (int64_t)(ws.rank_of[e.first] + 1) * stride;
+            const ST* prow = H + (int64_t)(ws.rank_of[e.first] + 1) * stride;
             if (v == prow[j - 1] + sc) {
                 rev.push_back({ws.order[r], (int32_t)(j - 1)});
                 j--;
@@ -613,11 +754,35 @@ static void add_alignment(Graph& g, const int8_t* seq, int64_t m,
     }
 }
 
+struct PoaScratch {
+    AlignWorkspace<int16_t> ws16;
+    AlignWorkspace<int32_t> ws32;
+    std::vector<std::pair<int32_t, int32_t>> pairs;
+};
+
+// One window's POA consensus (the hs_poa_consensus body, scratch reusable
+// across windows). Scores are computed in int16 when the score range
+// provably fits (the common racon-window case: halves H-matrix bandwidth
+// and doubles SIMD lanes; H values are exact either way).
+static int64_t poa_window(const int8_t* seqs, const int64_t* offsets, int64_t n_seqs,
+                          int32_t match, int32_t mismatch, int32_t gap,
+                          int32_t min_cov, int8_t* out, int64_t cap, PoaScratch& scr);
+
 }  // namespace poa
 
-int64_t hs_poa_consensus(const int8_t* seqs, const int64_t* offsets, int64_t n_seqs,
-                         int32_t match, int32_t mismatch, int32_t gap,
-                         int32_t min_cov, int8_t* out, int64_t cap) {
+extern "C" int64_t hs_poa_consensus(const int8_t* seqs, const int64_t* offsets,
+                                    int64_t n_seqs, int32_t match, int32_t mismatch,
+                                    int32_t gap, int32_t min_cov, int8_t* out,
+                                    int64_t cap) {
+    poa::PoaScratch scr;
+    return poa::poa_window(seqs, offsets, n_seqs, match, mismatch, gap, min_cov, out, cap, scr);
+}
+
+namespace poa {
+
+static int64_t poa_window(const int8_t* seqs, const int64_t* offsets, int64_t n_seqs,
+                          int32_t match, int32_t mismatch, int32_t gap,
+                          int32_t min_cov, int8_t* out, int64_t cap, PoaScratch& scr) {
     if (n_seqs <= 0) return 0;
     poa::Graph g;
     // seed with the first sequence (backbone window layer)
@@ -631,12 +796,16 @@ int64_t hs_poa_consensus(const int8_t* seqs, const int64_t* offsets, int64_t n_s
             prev = v;
         }
     }
-    std::vector<std::pair<int32_t, int32_t>> pairs;
-    poa::AlignWorkspace ws;
+    std::vector<std::pair<int32_t, int32_t>>& pairs = scr.pairs;
+    const int32_t maxsc = std::max(std::max(std::abs(match), std::abs(mismatch)), std::abs(gap));
     for (int64_t s = 1; s < n_seqs; s++) {
         int64_t lo = offsets[s], hi = offsets[s + 1];
         if (hi <= lo) continue;
-        poa::align_to_graph(g, seqs + lo, hi - lo, match, mismatch, gap, ws, pairs);
+        int64_t m = hi - lo;
+        if ((m + 2) * (int64_t)(maxsc + std::abs(gap)) < 32000)
+            poa::align_to_graph(g, seqs + lo, m, match, mismatch, gap, scr.ws16, pairs);
+        else
+            poa::align_to_graph(g, seqs + lo, m, match, mismatch, gap, scr.ws32, pairs);
         poa::add_alignment(g, seqs + lo, hi - lo, pairs);
     }
     // heaviest path by edge weight (ties: higher upstream score)
@@ -676,4 +845,41 @@ int64_t hs_poa_consensus(const int8_t* seqs, const int64_t* offsets, int64_t n_s
     return outn;
 }
 
-}  // extern "C"
+}  // namespace poa
+
+// Batched windowed POA: windows are independent (racon's unit of work), so
+// they are striped across worker threads, each with its own reusable
+// scratch. Layer layout is flat: window w owns layers
+// [win_layer_off[w], win_layer_off[w+1]) of `offsets`; its consensus is
+// written at out + out_off[w] (region size out_off[w+1]-out_off[w]) with the
+// actual length in out_lens[w] (-1 = region overflow).
+extern "C" int64_t hs_poa_consensus_batch(const int8_t* seqs, const int64_t* offsets,
+                               const int64_t* win_layer_off, int64_t n_windows,
+                               int32_t match, int32_t mismatch, int32_t gap,
+                               const int32_t* min_covs, int8_t* out,
+                               const int64_t* out_off, int64_t* out_lens,
+                               int32_t n_threads) {
+    if (n_windows <= 0) return 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_windows) n_threads = (int32_t)n_windows;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        poa::PoaScratch scr;
+        while (true) {
+            int64_t w = next.fetch_add(1);
+            if (w >= n_windows) break;
+            int64_t lo = win_layer_off[w], hi = win_layer_off[w + 1];
+            out_lens[w] = poa::poa_window(seqs, offsets + lo, hi - lo, match, mismatch,
+                                          gap, min_covs[w], out + out_off[w],
+                                          out_off[w + 1] - out_off[w], scr);
+        }
+    };
+    if (n_threads == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        for (int32_t t = 0; t < n_threads; t++) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    }
+    return 0;
+}

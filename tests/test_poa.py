@@ -98,3 +98,76 @@ def test_polish_poa_noop_on_clean_reads():
                          sub_rate=0.01, ins_rate=0.005, del_rate=0.005)
     out = polish_poa(truth, list(sim.seqs), rounds=1)
     assert _identity(truth, out) >= 0.999
+
+
+def test_poa_batch_matches_per_window():
+    """hs_poa_consensus_batch (threaded) is bit-identical to per-window
+    hs_poa_consensus calls on the same layers."""
+    from hairsplitter_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    windows, covs = [], []
+    for _ in range(7):
+        backbone = rng.integers(0, 4, int(rng.integers(80, 400))).astype(np.int8)
+        layers = [backbone]
+        for _ in range(int(rng.integers(2, 12))):
+            keep = rng.random(backbone.size) > 0.1
+            mut = np.where(
+                rng.random(backbone.size) < 0.08,
+                rng.integers(0, 4, backbone.size),
+                backbone,
+            )
+            layers.append(mut[keep].astype(np.int8))
+        windows.append(layers)
+        covs.append(len(layers) // 2)
+    ref = [native.poa_consensus(ls, min_cov=c) for ls, c in zip(windows, covs)]
+    got = native.poa_consensus_batch(windows, min_covs=covs)
+    assert got is not None
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
+def test_polish_poa_multi_matches_single():
+    """Joint multi-group POA polish (one restricted mapping + one POA batch)
+    recovers each group's truth like the per-group path."""
+    from hairsplitter_tpu.ops.poa import polish_poa_multi
+
+    rng = np.random.default_rng(21)
+    truths = [random_genome(1200, rng) for _ in range(3)]
+    drafts, read_lists = [], []
+    for t in truths:
+        sim = simulate_reads(
+            [t], coverage=24, read_len=1200, rng=rng,
+            sub_rate=0.06, ins_rate=0.03, del_rate=0.03,
+        )
+        drafts.append(sim.seqs[0])
+        read_lists.append(list(sim.seqs))
+    multi = polish_poa_multi(drafts, read_lists, rounds=2)
+    singles = [polish_poa(d, rs, rounds=2) for d, rs in zip(drafts, read_lists)]
+    for t, m, s in zip(truths, multi, singles):
+        assert _identity(t, m) >= 0.99
+        assert _identity(t, s) >= 0.99
+
+
+def test_map_reads_restrict_pins_reads_to_their_draft():
+    """With `restrict`, reads never map across homologous drafts."""
+    from hairsplitter_tpu.core.mapping import map_reads
+
+    rng = np.random.default_rng(33)
+    base = random_genome(3000, rng)
+    # two near-identical haplotype drafts
+    h2 = list(base)
+    for p in rng.integers(0, len(h2), 30):
+        h2[p] = "ACGT"[rng.integers(0, 4)]
+    drafts = {"d0": base, "d1": "".join(h2)}
+    sim0 = simulate_reads([base], coverage=4, read_len=1500, rng=rng,
+                          sub_rate=0.02, ins_rate=0.01, del_rate=0.01)
+    reads = list(sim0.seqs)
+    restrict = ["d1"] * len(reads)  # force everything onto d1
+    alns = map_reads(drafts, reads, restrict=restrict)
+    assert alns, "restricted mapping found no alignments"
+    assert all(a.contig == "d1" for a in alns)
