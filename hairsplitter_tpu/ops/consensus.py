@@ -24,6 +24,8 @@ import numpy as np
 
 from ..constants import GAP, PAD
 
+_ALPHABET_BYTES = np.frombuffer(b"ACGT-N", dtype=np.uint8)
+
 
 @jax.jit
 def majority_counts(codes: jnp.ndarray) -> jnp.ndarray:
@@ -87,21 +89,28 @@ def consensus_from_cells(
             s = "".join("ACGT-N"[x] for x in ic[seg_lo:seg_hi])
             ins_by_pos.setdefault(p, []).append(s)
 
+    # vectorized assembly: kept bases become one byte string; the (few)
+    # accepted insertion strings are spliced in at their filtered offsets
+    keep = (out_base != GAP) & (out_base != PAD)
+    base_str = _ALPHABET_BYTES[out_base[keep]].tobytes().decode()
+    accepted: list[tuple[int, str]] = []
+    for gp, cand in ins_by_pos.items():
+        p = gp - start
+        if cover[p] >= min_cov and len(cand) * 2 > cover[p]:
+            s = sorted(Counter(cand).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            accepted.append((p, s.replace("-", "").replace("N", "")))
+    if not accepted:
+        return base_str
+    kept_before = np.concatenate([[0], np.cumsum(keep)])  # filtered offset of p
+    accepted.sort()
     pieces: list[str] = []
-    alphabet = "ACGT-N"
-    for p in range(L):
-        gp = start + p
-        if gp in ins_by_pos and cover[p] >= min_cov:
-            cand = ins_by_pos[gp]
-            if len(cand) * 2 > cover[p]:
-                s = sorted(Counter(cand).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-                pieces.append(s.replace("-", "").replace("N", ""))
-        b = int(out_base[p])
-        if b == GAP:
-            continue  # majority deletion: drop the base
-        if b == PAD:
-            continue
-        pieces.append(alphabet[b])
+    last = 0
+    for p, s in accepted:
+        cut = int(kept_before[p])
+        pieces.append(base_str[last:cut])
+        pieces.append(s)
+        last = cut
+    pieces.append(base_str[last:])
     return "".join(pieces)
 
 

@@ -55,30 +55,25 @@ def check_backbone(
         return BACKBONE_BREAKPOINTS
     indel_votes: Counter = Counter()
     clip_votes: Counter = Counter()
-    code = BACKBONE_GOOD
     lo, hi = iv_start + interior_margin, iv_end - interior_margin
     for a, rlen in zip(alns, read_lens):
         # deviation from the reference's single-run >=30 test: our unit-cost
         # banded DP fragments a big indel into small runs interleaved with
         # spurious matches (no affine gap penalty), so count the NET indel
         # mass per 100 bp of target instead — same signal, robust encoding
-        pos = a.t_start
-        dels: Counter = Counter()
-        inserts: Counter = Counter()
-        for op, ln in zip(a.cigar_ops, a.cigar_lens):
-            op, ln = int(op), int(ln)
-            if op == OP_D:
-                dels[(pos // 100) * 100] += ln
-                pos += ln
-            elif op == OP_I:
-                inserts[(pos // 100) * 100] += ln
-            else:  # '=', 'X', 'M' consume target
-                pos += ln
-        for bucket, mass in list(dels.items()) + list(inserts.items()):
-            if mass >= _BIG and iv_start <= bucket <= iv_end:
-                indel_votes[bucket] += 1
-                if indel_votes[bucket] > _RECURRENT:
-                    code = BACKBONE_BIG_INDELS
+        ops = np.asarray(a.cigar_ops)
+        lens = np.asarray(a.cigar_lens, dtype=np.int64)
+        adv = np.where(ops != OP_I, lens, 0)  # '=','X','M','D' consume target
+        pos = a.t_start + np.concatenate([[0], np.cumsum(adv)[:-1]])
+        for mask in (ops == OP_D, ops == OP_I):  # separate mass pools, as the
+            if not mask.any():  # reference keeps separate del/ins runs
+                continue
+            bucket = (pos[mask] // 100) * 100
+            u, inv = np.unique(bucket, return_inverse=True)
+            mass = np.bincount(inv, weights=lens[mask])
+            for b_, m_ in zip(u, mass):
+                if m_ >= _BIG and iv_start <= b_ <= iv_end:
+                    indel_votes[int(b_)] += 1
         # clip breakpoints at either alignment end (contig orientation)
         left_rest = a.q_start if a.strand == 1 else rlen - a.q_end
         right_rest = rlen - a.q_end if a.strand == 1 else a.q_start
@@ -86,9 +81,13 @@ def check_backbone(
             clip_votes[(a.t_start // 50) * 50] += 1
         if right_rest >= _BIG and lo < a.t_end < hi:
             clip_votes[(a.t_end // 50) * 50] += 1
-        if clip_votes and max(clip_votes.values()) > _RECURRENT:
-            return BACKBONE_BREAKPOINTS
-    return code
+    # votes only grow, so evaluating after the loop matches the reference's
+    # incremental checks (clip recurrence dominates, tools.cpp:1028-1049)
+    if clip_votes and max(clip_votes.values()) > _RECURRENT:
+        return BACKBONE_BREAKPOINTS
+    if indel_votes and max(indel_votes.values()) > _RECURRENT:
+        return BACKBONE_BIG_INDELS
+    return BACKBONE_GOOD
 
 
 def alternative_backbone(
