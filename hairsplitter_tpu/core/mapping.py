@@ -273,6 +273,14 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
         )  # async dispatch: nothing blocks until the pulls below
         pending.append((lo, sub, fused, qb, tb))
 
+    # start all device->host copies up front so the transfers overlap each
+    # other and the host decode below (np.asarray alone serializes them)
+    for _, _, fused, _, _ in pending:
+        try:
+            fused.copy_to_host_async()
+        except Exception:
+            pass
+
     for lo, sub, fused, qb, tb in pending:
         ops_list, cost, clip = expand_rows_host(fused, qb, tb, spec)
         for i, job in enumerate(sub):

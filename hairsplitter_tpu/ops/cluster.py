@@ -19,6 +19,17 @@ import numpy as np
 
 
 @jax.jit
+def sims_diffs_packed(Ap: jnp.ndarray, Rp: jnp.ndarray):
+    """`sims_diffs` taking BIT-PACKED indicators (uint8 [n_reads, n_snps/8],
+    little-endian): the SNP axis unpacks on device, so the host ships 1 bit
+    per cell instead of an f32 — 32x less transfer, same int32 results."""
+    bits = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    A = ((Ap[:, :, None] >> bits) & jnp.uint8(1)).reshape(Ap.shape[0], -1).astype(jnp.float32)
+    R = ((Rp[:, :, None] >> bits) & jnp.uint8(1)).reshape(Rp.shape[0], -1).astype(jnp.float32)
+    return sims_diffs(A, R)
+
+
+@jax.jit
 def sims_diffs(A: jnp.ndarray, R: jnp.ndarray):
     """Similarity / difference matrices from allele indicators.
 

@@ -160,6 +160,21 @@ def _pack_bool(b):
     )
 
 
+def _unpack_bits_f32(p):
+    """uint8 [S, n/8] (little-endian bits) -> f32 0/1 [S, n] on device."""
+    bits = (p[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(p.shape[0], p.shape[1] * 8).astype(jnp.float32)
+
+
+@jax.jit
+def pairwise_column_correlation_packed(Ap, Rp, pos, chi2_keep, max_span):
+    """`pairwise_column_correlation` taking BIT-PACKED allele indicators:
+    the read-axis ships as 1 bit per cell and unpacks on device (the S x R
+    f32 matrices cost ~32x the transfer of the packed form — through a
+    tunneled chip the transfer, not the matmuls, dominated stage 3)."""
+    return pairwise_column_correlation(_unpack_bits_f32(Ap), _unpack_bits_f32(Rp), pos, chi2_keep, max_span)
+
+
 @jax.jit
 def pairwise_column_correlation(A, Rf, pos, chi2_keep, max_span):
     """Device pairwise column-correlation step of the robust filter
@@ -195,6 +210,13 @@ def pairwise_column_correlation(A, Rf, pos, chi2_keep, max_span):
 
 
 @jax.jit
+def partition_column_keep_packed(P1, P0, Ap, Rp, col_size, chi2_keep):
+    """`partition_column_keep` with bit-packed column indicators (the same
+    device-resident packed arrays the correlation call used)."""
+    return partition_column_keep(P1, P0, _unpack_bits_f32(Ap), _unpack_bits_f32(Rp), col_size, chi2_keep)
+
+
+@jax.jit
 def partition_column_keep(P1, P0, A, Rf, col_size, chi2_keep):
     """Device final-keep scan: suspect columns correlating with any kept
     partition (chi2 > keep threshold over >half the column's reads),
@@ -206,6 +228,12 @@ def partition_column_keep(P1, P0, A, Rf, col_size, chi2_keep):
     chi = _chi2_dev(k00, k01, k10, k11)
     enough = (k00 + k01 + k10 + k11) > 0.5 * col_size[None, :]
     return _pack_bool(((chi > chi2_keep) & enough).any(axis=0))
+
+
+@jax.jit
+def partition_rescue_keep_packed(P1, P0, Arp, Rrp, chi2_rescue):
+    """`partition_rescue_keep` with bit-packed rescue-column indicators."""
+    return partition_rescue_keep(P1, P0, _unpack_bits_f32(Arp), _unpack_bits_f32(Rrp), chi2_rescue)
 
 
 @jax.jit

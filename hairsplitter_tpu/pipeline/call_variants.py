@@ -22,7 +22,7 @@ import numpy as np
 from ..constants import GAP, TRIMER_ABSENT, encode_seq
 from ..core.datatypes import Alignment
 from ..ops.variants import column_stats, suspect_mask, window_error_stats
-from ..utils.shapes import pad_axis, pow2_bucket
+from ..utils.shapes import pow2_bucket
 from .pileup import WINDOW, build_window_blocks, orient_read
 
 
@@ -103,22 +103,6 @@ def _lncomb(n, k):
     return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
 
 
-class _UnionFind:
-    def __init__(self, n):
-        self.p = list(range(n))
-
-    def find(self, x):
-        while self.p[x] != x:
-            self.p[x] = self.p[self.p[x]]
-            x = self.p[x]
-        return x
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.p[rb] = ra
-
-
 def robust_filter(
     columns: list[SparseColumn],
     rescue_pool: list[SparseColumn],
@@ -133,34 +117,47 @@ def robust_filter(
     S = len(columns)
     if S == 0:
         return [], []
-    A = np.zeros((S, n_rows), dtype=np.float32)  # second allele indicator
-    Rf = np.zeros((S, n_rows), dtype=np.float32)  # majority allele indicator
+    A = np.zeros((S, n_rows), dtype=np.uint8)  # second allele indicator
+    Rf = np.zeros((S, n_rows), dtype=np.uint8)  # majority allele indicator
     pos = np.array([c.pos for c in columns])
     for s, c in enumerate(columns):
-        A[s, c.rows[c.alleles == c.top2]] = 1.0
-        Rf[s, c.rows[c.alleles == c.top1]] = 1.0
+        A[s, c.rows[c.alleles == c.top2]] = 1
+        Rf[s, c.rows[c.alleles == c.top1]] = 1
     use_dev = S >= 512 and _accel_available()
+    Ap_dev = Rp_dev = None
     if use_dev:
-        # the S x S contingency matmuls + chi2 gates on the MXU (packed
-        # boolean pulls); f32 chi2 vs the host f64 differs only at exact
-        # threshold boundaries
-        from ..ops.variants import pairwise_column_correlation
+        # the S x S contingency matmuls + chi2 gates on the MXU; indicators
+        # ship BIT-PACKED on the read axis and stay device-resident for the
+        # final-keep scan (the f32 S x R transfers dominated the stage on a
+        # tunneled chip); packed boolean pulls home. f32 chi2 vs the host
+        # f64 differs only at exact threshold boundaries
+        import jax as _jax
+
+        from ..ops.variants import pairwise_column_correlation_packed
 
         Sb = pow2_bucket(S, minimum=8)
-        nb = pow2_bucket(n_rows)
-        Ap = pad_axis(pad_axis(A, 0, Sb, 0.0), 1, nb, 0.0)
-        Rp = pad_axis(pad_axis(Rf, 0, Sb, 0.0), 1, nb, 0.0)
-        posp = pad_axis(pos.astype(np.int64), 0, Sb, np.int64(1) << 60)
-        corr_b, flip_b = pairwise_column_correlation(
-            Ap, Rp, posp, np.float32(cfg.chi2_keep), np.int64(cfg.max_partition_span)
+        nb = pow2_bucket(max(8, n_rows))
+        Ap = np.zeros((Sb, nb // 8), dtype=np.uint8)
+        Rp = np.zeros((Sb, nb // 8), dtype=np.uint8)
+        pa = np.packbits(A, axis=1, bitorder="little")
+        Ap[:S, : pa.shape[1]] = pa
+        pr = np.packbits(Rf, axis=1, bitorder="little")
+        Rp[:S, : pr.shape[1]] = pr
+        posp = np.full(Sb, np.int64(1) << 60, dtype=np.int64)
+        posp[:S] = pos
+        Ap_dev, Rp_dev = _jax.device_put(Ap), _jax.device_put(Rp)
+        corr_b, flip_b = pairwise_column_correlation_packed(
+            Ap_dev, Rp_dev, posp, np.float32(cfg.chi2_keep), np.int64(cfg.max_partition_span)
         )
         corr = np.unpackbits(np.asarray(corr_b), axis=1, bitorder="little")[:S, :S].astype(bool)
         flip = np.unpackbits(np.asarray(flip_b), axis=1, bitorder="little")[:S, :S].astype(bool)
     else:
-        n11 = A @ A.T
-        n10 = A @ Rf.T
-        n01 = Rf @ A.T
-        n00 = Rf @ Rf.T
+        Af = A.astype(np.float32)
+        Rff = Rf.astype(np.float32)
+        n11 = Af @ Af.T
+        n10 = Af @ Rff.T
+        n01 = Rff @ Af.T
+        n00 = Rff @ Rff.T
         # phase: anti-correlated columns compare allele-flipped
         flip = (n11 + n00) < (n10 + n01)
         f11 = np.where(flip, n10, n11)
@@ -181,13 +178,26 @@ def robust_filter(
         corr = (chi > cfg.chi2_keep) & balanced & near
         np.fill_diagonal(corr, False)
 
-    uf = _UnionFind(S)
-    for s, t in zip(*np.nonzero(corr)):
-        if s < t:
-            uf.union(int(s), int(t))
+    # connected components of the correlation graph (a dense corr block can
+    # hold millions of edges — a Python union-find loop over pairs dominates
+    # the stage at 5k+ suspect columns)
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        _, comp = connected_components(csr_matrix(corr), directed=False)
+    except ImportError:  # vectorized min-label propagation, same components
+        comp = np.arange(S)
+        adj = corr | corr.T
+        while True:
+            neigh = np.where(adj, comp[None, :], S).min(axis=1)
+            new = np.minimum(comp, neigh)
+            if np.array_equal(new, comp):
+                break
+            comp = new
     clusters: dict[int, list[int]] = {}
     for s in range(S):
-        clusters.setdefault(uf.find(s), []).append(s)
+        clusters.setdefault(int(comp[s]), []).append(s)
 
     partitions: list[np.ndarray] = []
     part_votes: list[tuple[np.ndarray, np.ndarray]] = []  # (alt votes, ref votes) per read
@@ -199,7 +209,7 @@ def robust_filter(
         flips[midx == anchor] = False
         wa = (~flips).astype(np.float32)
         wf = flips.astype(np.float32)
-        sub_a, sub_r = A[midx], Rf[midx]
+        sub_a, sub_r = A[midx].astype(np.float32), Rf[midx].astype(np.float32)
         # sums of 0/1 indicators: exact in f32
         alt_votes = (wa @ sub_a + wf @ sub_r).astype(np.int32)
         ref_votes = (wf @ sub_a + wa @ sub_r).astype(np.int32)
@@ -255,23 +265,29 @@ def robust_filter(
 
     col_size = np.array([c.rows.size for c in columns])
     if use_dev:
-        from ..ops.variants import partition_column_keep
+        from ..ops.variants import partition_column_keep_packed
 
         Kb = pow2_bucket(len(partitions), minimum=8)
-        nb = pow2_bucket(n_rows)
+        nb = pow2_bucket(max(8, n_rows))
         Sb = pow2_bucket(S, minimum=8)
-        P1p = pad_axis(pad_axis(P1, 0, Kb, 0.0), 1, nb, 0.0)
-        P0p = pad_axis(pad_axis(P0, 0, Kb, 0.0), 1, nb, 0.0)
-        Ap = pad_axis(pad_axis(A, 0, Sb, 0.0), 1, nb, 0.0)
-        Rp = pad_axis(pad_axis(Rf, 0, Sb, 0.0), 1, nb, 0.0)
-        csp = pad_axis(col_size.astype(np.float32), 0, Sb, np.float32(1e9))
-        bits = partition_column_keep(P1p, P0p, Ap, Rp, csp, np.float32(cfg.chi2_keep))
+        P1p = np.zeros((Kb, nb), dtype=np.float32)
+        P1p[: P1.shape[0], : P1.shape[1]] = P1
+        P0p = np.zeros((Kb, nb), dtype=np.float32)
+        P0p[: P0.shape[0], : P0.shape[1]] = P0
+        csp = np.full(Sb, 1e9, dtype=np.float32)
+        csp[:S] = col_size
+        # Ap_dev/Rp_dev: the bit-packed indicators already on device
+        bits = partition_column_keep_packed(
+            P1p, P0p, Ap_dev, Rp_dev, csp, np.float32(cfg.chi2_keep)
+        )
         keep_col = np.unpackbits(np.asarray(bits), bitorder="little")[:S].astype(bool)
     else:
-        k11 = P1 @ A.T
-        k10 = P1 @ Rf.T
-        k01 = P0 @ A.T
-        k00 = P0 @ Rf.T
+        Af = A.astype(np.float32)
+        Rff = Rf.astype(np.float32)
+        k11 = P1 @ Af.T
+        k10 = P1 @ Rff.T
+        k01 = P0 @ Af.T
+        k00 = P0 @ Rff.T
         chi_fin = _chi2_tables(k00, k01, k10, k11)  # [K, S]
         enough = (k00 + k01 + k10 + k11) > 0.5 * col_size[None, :]
         keep_col = ((chi_fin > cfg.chi2_keep) & enough).any(axis=0)
@@ -281,28 +297,36 @@ def robust_filter(
 
     # rescue pass over non-suspect candidates (chi² > 20 vs a kept partition)
     if rescue_pool:
-        Ar = np.zeros((len(rescue_pool), n_rows), dtype=np.float32)
-        Rr = np.zeros((len(rescue_pool), n_rows), dtype=np.float32)
+        Ar = np.zeros((len(rescue_pool), n_rows), dtype=np.uint8)
+        Rr = np.zeros((len(rescue_pool), n_rows), dtype=np.uint8)
         for s, c in enumerate(rescue_pool):
-            Ar[s, c.rows[c.alleles == c.top2]] = 1.0
-            Rr[s, c.rows[c.alleles == c.top1]] = 1.0
+            Ar[s, c.rows[c.alleles == c.top2]] = 1
+            Rr[s, c.rows[c.alleles == c.top1]] = 1
         if use_dev and len(rescue_pool) >= 512:
-            from ..ops.variants import partition_rescue_keep
+            from ..ops.variants import partition_rescue_keep_packed
 
             Kb = pow2_bucket(len(partitions), minimum=8)
-            nb = pow2_bucket(n_rows)
+            nb = pow2_bucket(max(8, n_rows))
             Srb = pow2_bucket(len(rescue_pool), minimum=8)
-            P1p = pad_axis(pad_axis(P1, 0, Kb, 0.0), 1, nb, 0.0)
-            P0p = pad_axis(pad_axis(P0, 0, Kb, 0.0), 1, nb, 0.0)
-            Arp = pad_axis(pad_axis(Ar, 0, Srb, 0.0), 1, nb, 0.0)
-            Rrp = pad_axis(pad_axis(Rr, 0, Srb, 0.0), 1, nb, 0.0)
-            bits = partition_rescue_keep(P1p, P0p, Arp, Rrp, np.float32(cfg.chi2_rescue))
+            P1p = np.zeros((Kb, nb), dtype=np.float32)
+            P1p[: P1.shape[0], : P1.shape[1]] = P1
+            P0p = np.zeros((Kb, nb), dtype=np.float32)
+            P0p[: P0.shape[0], : P0.shape[1]] = P0
+            Arp = np.zeros((Srb, nb // 8), dtype=np.uint8)
+            par = np.packbits(Ar, axis=1, bitorder="little")
+            Arp[: par.shape[0], : par.shape[1]] = par
+            Rrp = np.zeros((Srb, nb // 8), dtype=np.uint8)
+            prr = np.packbits(Rr, axis=1, bitorder="little")
+            Rrp[: prr.shape[0], : prr.shape[1]] = prr
+            bits = partition_rescue_keep_packed(P1p, P0p, Arp, Rrp, np.float32(cfg.chi2_rescue))
             ok = np.unpackbits(np.asarray(bits), bitorder="little")[: len(rescue_pool)].astype(bool)
         else:
-            r11 = P1 @ Ar.T
-            r10 = P1 @ Rr.T
-            r01 = P0 @ Ar.T
-            r00 = P0 @ Rr.T
+            Arf = Ar.astype(np.float32)
+            Rrf = Rr.astype(np.float32)
+            r11 = P1 @ Arf.T
+            r10 = P1 @ Rrf.T
+            r01 = P0 @ Arf.T
+            r00 = P0 @ Rrf.T
             chi_r = _chi2_tables(r00, r01, r10, r11)
             ok = (
                 (chi_r > cfg.chi2_rescue) & (r10 + r00 > 4) & (r01 + r11 > 4)

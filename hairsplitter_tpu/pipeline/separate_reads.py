@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .. import native
-from ..ops.cluster import cw_numpy, sims_diffs
+from ..ops.cluster import cw_numpy
 from ..utils.shapes import pad_axis, pow2_bucket
 from .call_variants import ContigVariants, SparseColumn
 
@@ -266,25 +266,33 @@ def merge_wrongly_split(
         return out
     gidx = {g: i for i, g in enumerate(groups)}
     G = len(groups)
+    lut = np.full(int(max(groups)) + 1, -1, dtype=np.int64)
+    for g in groups:
+        lut[g] = gidx[g]
+    totals = np.bincount(lut[labels[labels >= 0]], minlength=G)
+    NA = 125  # trimer code space
+    garange = np.arange(G)
     incompat = np.zeros((G, G), dtype=np.int64)
     last_pos = np.full((G, G), -10, dtype=np.int64)
     for col in columns:
         if not (posstart <= col.pos < posend):
             continue
         # majority base per cluster: must beat 2x the second and 50% presence
-        maj: dict[int, int] = {}
-        for g in groups:
-            in_g = labels[col.rows] == g
-            if not in_g.any():
-                continue
-            vals, counts = np.unique(col.alleles[in_g], return_counts=True)
-            o = np.argsort(-counts, kind="stable")
-            mx = counts[o[0]]
-            second = counts[o[1]] if len(o) > 1 else 0
-            total = int(np.sum(labels == g))
-            if second * 2 > mx or 0.5 * total > mx:
-                continue
-            maj[g] = int(vals[o[0]])
+        # (one joint (group, allele) bincount per column; argmax tie-break =
+        # smallest allele code, same as the sorted-unique argsort it replaces)
+        lab = labels[col.rows]
+        ok = lab >= 0
+        if not ok.any():
+            continue
+        gi = lut[lab[ok]]
+        al = col.alleles[ok].astype(np.int64)
+        cnt = np.bincount(gi * NA + al, minlength=G * NA).reshape(G, NA)
+        mx_i = cnt.argmax(axis=1)
+        mx = cnt[garange, mx_i]
+        cnt[garange, mx_i] = -1
+        second = cnt.max(axis=1)
+        okg = (mx > 0) & (second * 2 <= mx) & (0.5 * totals <= mx)
+        maj = {g: int(mx_i[gidx[g]]) for g in groups if okg[gidx[g]]}
         if len(set(maj.values())) <= 1:
             continue
         for i, g1 in enumerate(groups):
@@ -295,17 +303,15 @@ def merge_wrongly_split(
                         incompat[gidx[g2], gidx[g1]] += 1
                         last_pos[gidx[g1], gidx[g2]] = col.pos
                         last_pos[gidx[g2], gidx[g1]] = col.pos
-    # link fractions between clusters
-    links = np.zeros((G, G))
-    per_cluster = np.zeros(G)
+    # link fractions between clusters (vectorized over the edge list)
     r1s, r2s = np.nonzero(adj)
-    for r1, r2 in zip(r1s, r2s):
-        c1, c2 = labels[r1], labels[r2]
-        if c1 < 0 or c2 < 0:
-            continue
-        per_cluster[gidx[c1]] += 1
-        if c1 != c2:
-            links[gidx[c1], gidx[c2]] += 1
+    e_ok = (labels[r1s] >= 0) & (labels[r2s] >= 0)
+    c1 = lut[labels[r1s[e_ok]]]
+    c2 = lut[labels[r2s[e_ok]]]
+    per_cluster = np.bincount(c1, minlength=G).astype(np.float64)
+    links = np.zeros((G, G))
+    d_ok = c1 != c2
+    np.add.at(links, (c1[d_ok], c2[d_ok]), 1.0)
     frac = links / np.maximum(per_cluster[:, None], 1)
     pairs = [(frac[i, j], i, j) for i in range(G) for j in range(G) if i != j]
     pairs.sort(key=lambda t: -t[0])
@@ -393,12 +399,22 @@ def separate_reads_for_contig(
     if columns and n_rows:
         A, R = _allele_indicators(columns, n_rows)
         if cfg.use_device_matmul and n_rows >= 256:
-            # static-shape buckets: zero indicator rows/cols are no-ops
+            # static-shape buckets: zero indicator rows/cols are no-ops; the
+            # SNP axis ships bit-packed (1 bit/cell vs f32 — the transfer,
+            # not the matmul, bounds this call on a tunneled chip)
+            from ..ops.cluster import sims_diffs_packed
+
             rb = pow2_bucket(A.shape[0])
-            sb = pow2_bucket(A.shape[1])
-            Ap = pad_axis(pad_axis(A, 0, rb, 0.0), 1, sb, 0.0)
-            Rp = pad_axis(pad_axis(R, 0, rb, 0.0), 1, sb, 0.0)
-            sim, diff = (np.asarray(m)[:n_rows, :n_rows] for m in sims_diffs(Ap, Rp))
+            sb = pow2_bucket(A.shape[1], minimum=32)
+            Apk = np.zeros((rb, sb // 8), dtype=np.uint8)
+            pa = np.packbits(A.astype(np.uint8), axis=1, bitorder="little")
+            Apk[: pa.shape[0], : pa.shape[1]] = pa
+            Rpk = np.zeros((rb, sb // 8), dtype=np.uint8)
+            pr = np.packbits(R.astype(np.uint8), axis=1, bitorder="little")
+            Rpk[: pr.shape[0], : pr.shape[1]] = pr
+            sim, diff = (
+                np.asarray(m)[:n_rows, :n_rows] for m in sims_diffs_packed(Apk, Rpk)
+            )
         else:
             sim, diff = _sims_diffs_host(A, R)
     else:

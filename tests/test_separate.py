@@ -160,3 +160,19 @@ def test_ploidy_cap(rng):
     for w in groups.windows:
         labs = w.labels
         assert len(set(labs[labs >= 0].tolist())) <= 1
+
+
+def test_sims_diffs_packed_matches():
+    """Bit-packed indicator transfer gives identical sim/diff matrices."""
+    from hairsplitter_tpu.ops.cluster import sims_diffs_packed
+
+    rng = np.random.default_rng(4)
+    n, S = 64, 96
+    A = (rng.random((n, S)) < 0.3).astype(np.float32)
+    R = ((rng.random((n, S)) < 0.6) * (A == 0)).astype(np.float32)
+    sim0, diff0 = map(np.asarray, sims_diffs(A, R))
+    Ap = np.packbits(A.astype(np.uint8), axis=1, bitorder="little")
+    Rp = np.packbits(R.astype(np.uint8), axis=1, bitorder="little")
+    sim1, diff1 = map(np.asarray, sims_diffs_packed(Ap, Rp))
+    assert np.array_equal(sim0, sim1)
+    assert np.array_equal(diff0, diff1)

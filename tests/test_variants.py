@@ -173,3 +173,41 @@ def test_column_stats_host_twin_matches_device(rng):
     assert np.array_equal(cov_d, cov_h)
     mm_d, cc_d = (int(x) for x in window_error_stats(tri, codes_w))
     assert (mm_d, cc_d) == window_error_stats_host(tri, codes_w)
+
+
+def test_packed_correlation_matches_unpacked():
+    """The bit-packed transfer variants of the stage-3 device kernels are
+    bit-identical to the f32 versions (same math after on-device unpack)."""
+    import numpy as np
+
+    from hairsplitter_tpu.ops.variants import (
+        pairwise_column_correlation,
+        pairwise_column_correlation_packed,
+        partition_column_keep,
+        partition_column_keep_packed,
+        partition_rescue_keep,
+        partition_rescue_keep_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    S, n = 64, 64
+    A = (rng.random((S, n)) < 0.25).astype(np.uint8)
+    R = ((rng.random((S, n)) < 0.5) & (A == 0)).astype(np.uint8)
+    pos = np.sort(rng.integers(0, 10000, S)).astype(np.int64)
+    Ap = np.packbits(A, axis=1, bitorder="little")
+    Rp = np.packbits(R, axis=1, bitorder="little")
+    Af, Rf = A.astype(np.float32), R.astype(np.float32)
+    c1, f1 = pairwise_column_correlation(Af, Rf, pos, np.float32(15.0), np.int64(5000))
+    c2, f2 = pairwise_column_correlation_packed(Ap, Rp, pos, np.float32(15.0), np.int64(5000))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+    K = 8
+    P1 = (rng.random((K, n)) < 0.3).astype(np.float32)
+    P0 = (rng.random((K, n)) < 0.5).astype(np.float32)
+    cs = rng.integers(1, n, S).astype(np.float32)
+    k1 = partition_column_keep(P1, P0, Af, Rf, cs, np.float32(15.0))
+    k2 = partition_column_keep_packed(P1, P0, Ap, Rp, cs, np.float32(15.0))
+    assert np.array_equal(np.asarray(k1), np.asarray(k2))
+    r1 = partition_rescue_keep(P1, P0, Af, Rf, np.float32(20.0))
+    r2 = partition_rescue_keep_packed(P1, P0, Ap, Rp, np.float32(20.0))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
