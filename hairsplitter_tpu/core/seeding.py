@@ -118,6 +118,12 @@ class MinimizerIndex:
 
     def lookup(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """For each query hash return hits: (query_idx, contig_id, pos, strand)."""
+        from .. import native as _native
+
+        nat = _native.index_lookup(self._hash, hashes, self.max_occ)
+        if nat is not None:
+            qidx, at = nat
+            return qidx, self._cid[at], self._pos[at], self._strand[at]
         lo = np.searchsorted(self._hash, hashes, side="left")
         hi = np.searchsorted(self._hash, hashes, side="right")
         counts = hi - lo

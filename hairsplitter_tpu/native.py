@@ -110,6 +110,17 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int64,
     ]
+    lib.hs_index_lookup.restype = ctypes.c_int64
+    lib.hs_index_lookup.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.hs_poa_consensus_batch.restype = ctypes.c_int64
     lib.hs_poa_consensus_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int8),
@@ -237,6 +248,34 @@ def chain_sweep(q: np.ndarray, t: np.ndarray, max_gap: int, max_diag_diff: int):
         _ptr(breaks, ctypes.c_int64),
     )
     return breaks[:nb]
+
+
+def index_lookup(index_hashes: np.ndarray, query_hashes: np.ndarray, max_occ: int):
+    """Native twin of `MinimizerIndex.lookup`'s probe (bit-identical hit
+    order: by query, then index offset). Returns (qidx, at) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ih = np.ascontiguousarray(index_hashes, dtype=np.uint64)
+    qh = np.ascontiguousarray(query_hashes, dtype=np.uint64)
+    cap = int(4 * qh.size + 1024)
+    for _ in range(2):
+        qidx = np.empty(cap, dtype=np.int64)
+        at = np.empty(cap, dtype=np.int64)
+        n = lib.hs_index_lookup(
+            _ptr(ih, ctypes.c_uint64),
+            ih.size,
+            _ptr(qh, ctypes.c_uint64),
+            qh.size,
+            int(max_occ),
+            cap,
+            _ptr(qidx, ctypes.c_int64),
+            _ptr(at, ctypes.c_int64),
+        )
+        if n >= 0:
+            return qidx[:n], at[:n]
+        cap = int(qh.size * max_occ + 1024)  # worst case, one retry
+    return None
 
 
 def poa_consensus(

@@ -73,22 +73,29 @@ class SeparateConfig:
 def downsample_columns(
     columns: list[SparseColumn], n_rows: int, max_rows: int, seed: int = 0
 ) -> tuple[list[SparseColumn], np.ndarray]:
-    """Randomly keep at most max_rows reads; columns are restricted to the
-    kept rows (row indices unchanged). Returns (columns, kept_mask)."""
-    if n_rows <= max_rows:
+    """Cap PER-COLUMN coverage at max_rows, keeping each column's first
+    max_rows covering reads in row order — the reference's downsampling
+    truncates every SNP column the same way while parsing
+    (`src/separate_reads.cpp:150-152`, max_coverage = 50/abundance). A
+    global read subset here would instead starve every window's spanning
+    mask on long contigs (measured: 3-strain windows losing whole strains
+    to the min-cluster-size rule). Returns (columns, kept_mask) where the
+    mask flags reads still present in at least one column."""
+    if not columns or all(c.rows.size <= max_rows for c in columns):
         return columns, np.ones(n_rows, dtype=bool)
-    rng = np.random.default_rng(seed)
-    keep_idx = rng.choice(n_rows, size=max_rows, replace=False)
-    keep = np.zeros(n_rows, dtype=bool)
-    keep[keep_idx] = True
     out = []
+    keep = np.zeros(n_rows, dtype=bool)
     for c in columns:
-        sel = keep[c.rows]
-        out.append(
-            SparseColumn(
-                pos=c.pos, top1=c.top1, top2=c.top2, rows=c.rows[sel], alleles=c.alleles[sel]
+        if c.rows.size > max_rows:
+            c = SparseColumn(
+                pos=c.pos,
+                top1=c.top1,
+                top2=c.top2,
+                rows=c.rows[:max_rows],
+                alleles=c.alleles[:max_rows],
             )
-        )
+        keep[c.rows] = True
+        out.append(c)
     return out, keep
 
 

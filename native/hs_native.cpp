@@ -347,6 +347,35 @@ int64_t hs_select_pins(const int64_t* qa, const int64_t* ta, int64_t n,
 // N*4 int32 (cost, clip, start_i, start_b), qb N*B and tb N*T int8 codes.
 // Writes the concatenated streams into ops_out (capacity cap) and the N+1
 // prefix offsets; returns total ops or -1 on overflow.
+// Fused minimizer-index probe (native twin of MinimizerIndex.lookup's
+// two searchsorted + repeat/arange expansion): for each query hash, binary
+// search the sorted index hashes and emit (query idx, index offset) hits,
+// skipping hashes more frequent than max_occ. Returns the hit count, or -1
+// if cap would overflow (caller falls back to the numpy path).
+int64_t hs_index_lookup(const uint64_t* ih, int64_t n_index,
+                        const uint64_t* qh, int64_t n_q,
+                        int64_t max_occ, int64_t cap,
+                        int64_t* out_qidx, int64_t* out_at) {
+    int64_t outn = 0;
+    const uint64_t* end = ih + n_index;
+    for (int64_t i = 0; i < n_q; i++) {
+        uint64_t h = qh[i];
+        const uint64_t* lo = std::lower_bound(ih, end, h);
+        if (lo == end || *lo != h) continue;
+        const uint64_t* hi = std::upper_bound(lo, end, h);
+        int64_t cnt = hi - lo;
+        if (cnt > max_occ) continue;
+        if (outn + cnt > cap) return -1;
+        int64_t base = lo - ih;
+        for (int64_t k = 0; k < cnt; k++) {
+            out_qidx[outn] = i;
+            out_at[outn] = base + k;
+            outn++;
+        }
+    }
+    return outn;
+}
+
 int64_t hs_expand_rows(const uint8_t* toks, const int32_t* meta,
                        const int8_t* qb, const int8_t* tb,
                        int64_t N, int64_t B, int64_t T, int64_t dl,
