@@ -298,15 +298,27 @@ def map_reads(
     read_indices: list[int] | None = None,
     index: MinimizerIndex | None = None,
     restrict: list[str] | None = None,
+    pinned: list[list[tuple[str, int, np.ndarray, np.ndarray]]] | None = None,
+    read_codes: list[np.ndarray] | None = None,
 ) -> list[Alignment]:
     """Map every read against the contig set; returns accepted Alignments.
 
     restrict: optional per-read target contig name (parallel to read_seqs) —
     chains on other contigs are dropped. This lets many independent
     (draft, read group) polish jobs share ONE index and ONE device batch
-    without cross-mapping between homologous drafts."""
+    without cross-mapping between homologous drafts.
+
+    pinned: optional precomputed anchor chains per read — list (parallel to
+    read_seqs) of (contig_name, strand, q_anchors, t_anchors) with q in
+    oriented-read coords. When given, minimizer seeding/indexing/chaining is
+    skipped entirely: the anchors (typically sampled from a previous round's
+    CIGARs, ops/poa.py:pin_chains) go straight to pin selection and the
+    banded DP. Reads whose pinned chains produce no accepted alignment fall
+    back to full seeded mapping (cfg.rescue). This is how polish remap
+    rounds avoid re-seeding reads against drafts whose placements are
+    already known (racon re-seeds each round; the placement is the same)."""
     contig_codes = {n: encode_seq(s) for n, s in contigs.items()}
-    if index is None:
+    if index is None and pinned is None:
         # with restriction, homologous drafts share minimizers: scale the
         # repetitiveness cutoff so shared seeds survive the joint index
         occ = cfg.max_occ * (max(1, len(contigs)) if restrict is not None else 1)
@@ -324,30 +336,48 @@ def map_reads(
     T = cfg.spec.t_width
     dr = cfg.spec.dr
 
-    all_codes = [encode_seq(seq) for seq in read_seqs]
-    allowed_cids = None
-    if restrict_by_idx is not None:
-        name_to_cid = {n: i for i, n in enumerate(index.contig_names)}
-        allowed_cids = [
-            name_to_cid.get(restrict_by_idx[ridx], -1) for ridx in read_indices
-        ]
-    all_chains = find_chains_batch(
-        index, all_codes, min_anchors=cfg.min_anchors, allowed_cids=allowed_cids
+    all_codes = (
+        read_codes
+        if read_codes is not None
+        else [encode_seq(seq) for seq in read_seqs]
     )
-    for ridx, codes, read_chains in zip(read_indices, all_codes, all_chains):
-        for chain in read_chains:
-            if (
-                restrict_by_idx is not None
-                and index.contig_names[chain.contig_id] != restrict_by_idx[ridx]
-            ):
+    if pinned is not None:
+        named_chains = [
+            [
+                (cname, strand, qa, ta)
+                for cname, strand, qa, ta in read_pins
+                if cname in contig_codes and qa.size >= 2
+            ]
+            for read_pins in pinned
+        ]
+    else:
+        allowed_cids = None
+        if restrict_by_idx is not None:
+            name_to_cid = {n: i for i, n in enumerate(index.contig_names)}
+            allowed_cids = [
+                name_to_cid.get(restrict_by_idx[ridx], -1) for ridx in read_indices
+            ]
+        all_chains = find_chains_batch(
+            index, all_codes, min_anchors=cfg.min_anchors, allowed_cids=allowed_cids
+        )
+        named_chains = [
+            [
+                (index.contig_names[ch.contig_id], ch.strand, ch.q_anchors, ch.t_anchors)
+                for ch in read_chains
+            ]
+            for read_chains in all_chains
+        ]
+    for ridx, codes, read_chains in zip(read_indices, all_codes, named_chains):
+        for cname, strand, q_anchors, t_anchors in read_chains:
+            if restrict_by_idx is not None and cname != restrict_by_idx[ridx]:
                 continue
-            oriented = codes if chain.strand == 1 else revcomp_codes(codes)
-            tcodes = contig_codes[index.contig_names[chain.contig_id]]
-            pins = select_pins(chain.q_anchors, chain.t_anchors, cfg)
+            oriented = codes if strand == 1 else revcomp_codes(codes)
+            tcodes = contig_codes[cname]
+            pins = select_pins(q_anchors, t_anchors, cfg)
             plan = {
                 "read_idx": ridx,
-                "contig": index.contig_names[chain.contig_id],
-                "strand": chain.strand,
+                "contig": cname,
+                "strand": strand,
                 "qlen": len(codes),
                 "pins": pins,
                 "jobs": [],  # (job_index, kind)
@@ -442,7 +472,28 @@ def map_reads(
             )
         )
 
-    if cfg.rescue and (cfg.k, cfg.w) != (cfg.rescue_k, cfg.rescue_w):
+    if pinned is not None:
+        # pinned chains are a fast path, not a filter: reads whose pins
+        # produced nothing get the full seeded pipeline (incl. its rescue)
+        if cfg.rescue:
+            mapped = {a.read_idx for a in alignments}
+            unmapped = [i for i in read_indices if i not in mapped]
+            if unmapped:
+                by_idx = dict(zip(read_indices, read_seqs))
+                alignments.extend(
+                    map_reads(
+                        contigs,
+                        [by_idx[i] for i in unmapped],
+                        cfg,
+                        read_indices=unmapped,
+                        restrict=(
+                            [restrict_by_idx[i] for i in unmapped]
+                            if restrict_by_idx is not None
+                            else None
+                        ),
+                    )
+                )
+    elif cfg.rescue and (cfg.k, cfg.w) != (cfg.rescue_k, cfg.rescue_w):
         mapped = {a.read_idx for a in alignments}
         unmapped = [i for i in read_indices if i not in mapped]
         if unmapped:

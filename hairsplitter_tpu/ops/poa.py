@@ -67,6 +67,46 @@ def _window_cuts(aln, oriented_len: int, window: int, L: int):
     return w_first, cuts
 
 
+def _pin_anchors(aln, read_len: int, t_off: int, t_len_old: int, new_len: int, step: int = 192):
+    """Sample exact (q, t) match pairs from a previous-round alignment every
+    ~step target bases and rescale t from the old target's frame
+    [t_off, t_off + t_len_old) onto the new draft of length new_len.
+
+    Feeds `map_reads(pinned=...)` so polish remap rounds skip re-seeding
+    (racon re-maps each round, but the read's placement on the draft is the
+    placement it already had). The rescale drift between adjacent exact
+    anchors is smooth and absorbed by the DP band; window cuts partition
+    each read exactly, so a shared cut-position shift cannot corrupt the
+    POA consensus. Returns (q_anchors, t_anchors) in oriented-read coords
+    or None when fewer than two usable anchors remain."""
+    exp = expand_cigar(aln.cigar_ops, aln.cigar_lens)
+    consumes_q = exp != 3
+    consumes_t = exp != 2
+    q0 = aln.q_start if aln.strand == 1 else (read_len - aln.q_end)
+    qpos = q0 + np.cumsum(consumes_q) - consumes_q
+    tpos = aln.t_start + np.cumsum(consumes_t) - consumes_t
+    m = np.nonzero(exp == 0)[0]  # '=' — exact pairs only
+    if m.size < 2:
+        return None
+    pm, qm = tpos[m], qpos[m]
+    inside = (pm >= t_off) & (pm < t_off + t_len_old)
+    pm, qm = pm[inside], qm[inside]
+    if pm.size < 2:
+        return None
+    grid = np.arange(int(pm[0]), int(pm[-1]) + step, step)
+    sel = np.unique(
+        np.concatenate([np.clip(np.searchsorted(pm, grid), 0, pm.size - 1), [pm.size - 1]])
+    )
+    scale = new_len / float(t_len_old)
+    ta = np.clip(np.rint((pm[sel] - t_off) * scale), 0, new_len - 1).astype(np.int64)
+    qa = qm[sel].astype(np.int64)
+    keep = np.concatenate([[True], ta[1:] > ta[:-1]])
+    qa, ta = qa[keep], ta[keep]
+    if qa.size < 2:
+        return None
+    return qa, ta
+
+
 def polish_poa(
     draft: str,
     reads: list[str],
@@ -90,13 +130,22 @@ def polish_poa_multi(
     window: int = 500,
     map_cfg=None,
     min_len: int = 300,
+    init_alns: list[list] | None = None,
+    init_frames: list[tuple[int, int]] | None = None,
 ) -> list[str]:
     """racon-equivalent polish of MANY independent (draft, read group) jobs
     per round: one restricted device mapping call covers every group's remap
     (each read pinned to its own draft so homologous haplotype drafts don't
     cross-map), and every group's windows go through one threaded native POA
     batch. Per-group results match :func:`polish_poa` up to seed-occurrence
-    filtering in the shared minimizer index."""
+    filtering in the shared minimizer index.
+
+    init_alns/init_frames: optional per-group alignments of each group's
+    reads to the ORIGINAL backbone (parallel to read_lists; entries may be
+    None) plus the draft's (t_off, t_len) frame on that backbone. When
+    given, every remap round runs with precomputed pin chains
+    (`_pin_anchors`) instead of re-seeding — subsequent rounds pin from the
+    previous round's own alignments."""
     if not poa_available():
         from .consensus import polish_iterative
 
@@ -113,7 +162,10 @@ def polish_poa_multi(
     active = [len(cur[g]) >= min_len and bool(read_lists[g]) for g in range(G)]
     flat_codes_cache: dict[int, list[np.ndarray]] = {}
     min_frag = max(8, int(MIN_FRAG_FRACTION * window))
-    for _ in range(rounds):
+    # per group: previous-round alignments per local read (for pin chains)
+    prev_alns: dict[int, list[list]] | None = None
+    prev_len: dict[int, int] = {}
+    for rnd in range(rounds):
         act = [g for g in range(G) if active[g]]
         if not act:
             break
@@ -122,14 +174,54 @@ def polish_poa_multi(
         flat_codes: list[np.ndarray] = []
         owner: list[int] = []
         restrict: list[str] = []
+        flat_base: dict[int, int] = {}
         for g in act:
             if g not in flat_codes_cache:
                 flat_codes_cache[g] = [encode_seq(r) for r in read_lists[g]]
+            flat_base[g] = len(flat_reads)
             flat_reads.extend(read_lists[g])
             flat_codes.extend(flat_codes_cache[g])
             owner.extend([g] * len(read_lists[g]))
             restrict.extend([f"d{g}"] * len(read_lists[g]))
-        alns = map_reads(contigs, flat_reads, cfg, restrict=restrict)
+        pinned = None
+        if rnd == 0 and init_alns is not None and init_frames is not None:
+            pinned = []
+            for g in act:
+                t_off, t_len = init_frames[g]
+                for i, r in enumerate(read_lists[g]):
+                    a = init_alns[g][i] if i < len(init_alns[g]) else None
+                    pair = (
+                        _pin_anchors(a, len(r), t_off, t_len, len(cur[g]))
+                        if a is not None
+                        else None
+                    )
+                    pinned.append(
+                        [(f"d{g}", a.strand, pair[0], pair[1])] if pair is not None else []
+                    )
+        elif prev_alns is not None:
+            pinned = [[] for _ in flat_reads]
+            for g in act:
+                if g not in prev_alns:
+                    continue
+                for i, per_read in enumerate(prev_alns[g]):
+                    chains = []
+                    for a in per_read:
+                        pair = _pin_anchors(
+                            a, len(read_lists[g][i]), 0, prev_len[g], len(cur[g])
+                        )
+                        if pair is not None:
+                            chains.append((f"d{g}", a.strand, pair[0], pair[1]))
+                    pinned[flat_base[g] + i] = chains
+        draft_len_now = {g: len(cur[g]) for g in act}
+        alns = map_reads(
+            contigs, flat_reads, cfg, restrict=restrict, pinned=pinned,
+            read_codes=flat_codes,
+        )
+        prev_alns = {g: [[] for _ in read_lists[g]] for g in act}
+        for a in alns:
+            g = owner[a.read_idx]
+            prev_alns[g][a.read_idx - flat_base[g]].append(a)
+        prev_len = draft_len_now
 
         dcodes = {g: encode_seq(cur[g]) for g in act}
         nwin = {g: (len(dcodes[g]) + window - 1) // window for g in act}

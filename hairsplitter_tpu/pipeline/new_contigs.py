@@ -150,7 +150,8 @@ def create_new_contigs(
     # POA polish jobs deferred across ALL contigs/groups: one restricted
     # device mapping + one threaded native POA batch per round (ops/poa.py:
     # polish_poa_multi) instead of a device round-trip per group
-    poa_jobs: list[tuple[str, str, list[str]]] = []  # (segment, draft, reads)
+    # (segment, draft, reads, stage-2 alns, (t_off, t_len) backbone frame)
+    poa_jobs: list[tuple[str, str, list[str], list, tuple[int, int]]] = []
 
     for contig, seq in assembly.segments.items():
         alns, groups = per_contig.get(contig, ([], None))
@@ -231,7 +232,11 @@ def create_new_contigs(
                     if polish_rounds > 0:
                         group_reads = [read_seqs[alns[r].read_idx] for r in rows]
                         if polish_mode == "poa":
-                            poa_jobs.append((name, seq_g, group_reads))
+                            poa_jobs.append(
+                                (name, seq_g, group_reads,
+                                 [alns[r] for r in rows],
+                                 (iv.start, iv.end + 1 - iv.start))
+                            )
                         else:
                             from ..ops.consensus import polish_iterative
 
@@ -274,12 +279,16 @@ def create_new_contigs(
         from ..ops.poa import polish_poa_multi
 
         polished = polish_poa_multi(
-            [d for _, d, _ in poa_jobs],
-            [rs for _, _, rs in poa_jobs],
+            [j[1] for j in poa_jobs],
+            [j[2] for j in poa_jobs],
             rounds=polish_rounds,
+            # the stage-2 alignments already place every read on its
+            # interval: pin the remap instead of re-seeding (ops/poa.py)
+            init_alns=[j[3] for j in poa_jobs],
+            init_frames=[j[4] for j in poa_jobs],
         )
-        for (name, _, _), seq_p in zip(poa_jobs, polished):
-            new_graph.segments[name] = seq_p
+        for job, seq_p in zip(poa_jobs, polished):
+            new_graph.segments[job[0]] = seq_p
 
     # original inter-contig links -> attach to terminal interval groups
     for l in assembly.links:
