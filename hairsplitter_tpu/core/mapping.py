@@ -39,8 +39,11 @@ class MapConfig:
     min_anchors: int = 4
     max_occ: int = 64
     # device batch bucket: on the tunneled TPU, bigger buckets amortize the
-    # per-pull sync (measured: 512 -> 865, 1024 -> 1051, 2048 -> 1277 kbp/s)
-    batch: int = 2048
+    # per-pull sync (measured: 512 -> 865, 1024 -> 1051, 2048 -> 1277 kbp/s;
+    # with the fused device traceback the pulls are latency-bound ~65 ms
+    # each through the tunnel, so 8192 quarters the pull count of a 35k-job
+    # run at negligible extra device time)
+    batch: int = 8192
     # minimum identity to keep an alignment (minimap2 -M-ish sanity filter)
     max_divergence: float = 0.35
     # Pallas DP kernel (ops/align_pallas.py): bit-identical to the jnp

@@ -29,6 +29,21 @@ def sims_diffs_packed(Ap: jnp.ndarray, Rp: jnp.ndarray):
     return sims_diffs(A, R)
 
 
+@partial(jax.jit, static_argnames=("out_rows",))
+def sims_diffs_packed_pull(Ap: jnp.ndarray, Rp: jnp.ndarray, out_rows: int):
+    """`sims_diffs_packed` + transfer shaping for tunneled/remote chips:
+    slice the result to the `out_rows` x `out_rows` corner actually used
+    (inputs are padded to a power-of-two bucket for compile-shape stability)
+    and stack sim/diff into ONE int16 tensor, so the host pays a single pull
+    of 2*out_rows^2 int16 instead of two full-bucket int32 pulls — the
+    transfer, not the matmul, bounds this call. Only valid when
+    3 * n_snps < 32767 (the max sim entry is 3x the shared column count)."""
+    sim, diff = sims_diffs_packed(Ap, Rp)
+    return jnp.stack(
+        [sim[:out_rows, :out_rows], diff[:out_rows, :out_rows]]
+    ).astype(jnp.int16)
+
+
 @jax.jit
 def sims_diffs(A: jnp.ndarray, R: jnp.ndarray):
     """Similarity / difference matrices from allele indicators.

@@ -84,10 +84,10 @@ def consensus_from_cells(
         if it.size == 0:
             continue
         brk = np.nonzero(np.diff(it) != 0)[0] + 1
+        decoded = _ALPHABET_BYTES[ic].tobytes().decode()  # one decode, sliced per segment
         for seg_lo, seg_hi in zip(np.concatenate([[0], brk]), np.concatenate([brk, [it.size]])):
             p = int(it[seg_lo])
-            s = "".join("ACGT-N"[x] for x in ic[seg_lo:seg_hi])
-            ins_by_pos.setdefault(p, []).append(s)
+            ins_by_pos.setdefault(p, []).append(decoded[seg_lo:seg_hi])
 
     # vectorized assembly: kept bases become one byte string; the (few)
     # accepted insertion strings are spliced in at their filtered offsets

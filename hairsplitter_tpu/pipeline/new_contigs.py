@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import encode_seq
+from ..constants import decode_seq, encode_seq
 from ..core.datatypes import Alignment
 from ..io.gfa import AssemblyGraph, Link
 from ..ops.consensus import consensus_from_cells
@@ -247,7 +247,7 @@ def create_new_contigs(
                                 base_caller=base_caller,
                             )
                 else:
-                    seq_g = "".join("ACGT-N"[c] for c in backbone)
+                    seq_g = decode_seq(backbone)
                 new_graph.add_segment(name, seq_g, depths.get(g, 0.0))
             if separated:
                 summary.append(

@@ -225,14 +225,23 @@ def merge_close_clusters(adj: np.ndarray, labels: np.ndarray, mask: np.ndarray) 
     clusters; keep the result only if the cluster disappears entirely
     (`src/cluster_graph.cpp:402-501`), deterministic node order."""
     labels = labels.copy()
+    neigh_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def neighbors(i: int) -> tuple[np.ndarray, np.ndarray]:
+        # adj never changes here; the per-node scan dominated the call
+        got = neigh_cache.get(i)
+        if got is None:
+            nz = np.nonzero(adj[i])[0]
+            got = neigh_cache[i] = (nz, adj[i][nz])
+        return got
+
     for cluster in sorted(set(labels[labels >= 0].tolist())):
         new = labels.copy()
         for _ in range(10):
             changes = 0
             for i in np.nonzero(mask & (new == cluster))[0]:
-                neigh = np.nonzero(adj[i])[0]
+                neigh, w = neighbors(int(i))
                 lab = new[neigh]
-                w = adj[i][neigh]
                 ok = lab >= 0
                 if not ok.any():
                     continue
@@ -263,9 +272,14 @@ def merge_wrongly_split(
     posstart: int,
     posend: int,
     min_incompat_spacing: int = 10,
+    col_pos: np.ndarray | None = None,
 ) -> np.ndarray:
     """Merge clusters that no pair of well-separated SNPs distinguishes
-    (`src/separate_reads.cpp:1007-1341`)."""
+    (`src/separate_reads.cpp:1007-1341`).
+
+    col_pos: optional positions of `columns` (sorted, as pileup columns are)
+    so the window's columns are sliced by binary search instead of scanning
+    every contig column per window."""
     groups = sorted(set(labels[labels >= 0].tolist()))
     if len(groups) <= 1:
         out = np.zeros_like(labels)
@@ -281,9 +295,12 @@ def merge_wrongly_split(
     garange = np.arange(G)
     incompat = np.zeros((G, G), dtype=np.int64)
     last_pos = np.full((G, G), -10, dtype=np.int64)
-    for col in columns:
-        if not (posstart <= col.pos < posend):
-            continue
+    if col_pos is not None:
+        lo, hi = np.searchsorted(col_pos, [posstart, posend])
+        in_range = columns[int(lo) : int(hi)]
+    else:
+        in_range = [c for c in columns if posstart <= c.pos < posend]
+    for col in in_range:
         # majority base per cluster: must beat 2x the second and 50% presence
         # (one joint (group, allele) bincount per column; argmax tie-break =
         # smallest allele code, same as the sorted-unique argsort it replaces)
@@ -409,7 +426,7 @@ def separate_reads_for_contig(
             # static-shape buckets: zero indicator rows/cols are no-ops; the
             # SNP axis ships bit-packed (1 bit/cell vs f32 — the transfer,
             # not the matmul, bounds this call on a tunneled chip)
-            from ..ops.cluster import sims_diffs_packed
+            from ..ops.cluster import sims_diffs_packed, sims_diffs_packed_pull
 
             rb = pow2_bucket(A.shape[0])
             sb = pow2_bucket(A.shape[1], minimum=32)
@@ -419,9 +436,17 @@ def separate_reads_for_contig(
             Rpk = np.zeros((rb, sb // 8), dtype=np.uint8)
             pr = np.packbits(R.astype(np.uint8), axis=1, bitorder="little")
             Rpk[: pr.shape[0], : pr.shape[1]] = pr
-            sim, diff = (
-                np.asarray(m)[:n_rows, :n_rows] for m in sims_diffs_packed(Apk, Rpk)
-            )
+            if 3 * A.shape[1] < 32767:
+                # one sliced int16 pull (256-granular corner) instead of two
+                # full-bucket int32 pulls; values fit int16 by the guard
+                out_rows = min(rb, -(-n_rows // 256) * 256)
+                both = np.asarray(sims_diffs_packed_pull(Apk, Rpk, out_rows))
+                sim = both[0, :n_rows, :n_rows].astype(np.int32)
+                diff = both[1, :n_rows, :n_rows].astype(np.int32)
+            else:
+                sim, diff = (
+                    np.asarray(m)[:n_rows, :n_rows] for m in sims_diffs_packed(Apk, Rpk)
+                )
         else:
             sim, diff = _sims_diffs_host(A, R)
     else:
@@ -541,7 +566,9 @@ def separate_reads_for_contig(
         labels = run_cw(adj, labels, mask)
         labels = _renumber(labels)
         labels = merge_close_clusters(adj, labels, mask)
-        labels = merge_wrongly_split(labels, columns, adj, start, upper - 1)
+        labels = merge_wrongly_split(
+            labels, columns, adj, start, upper - 1, col_pos=pos_arr
+        )
         if max_haplotypes > 0:
             labels = merge_to_ploidy(labels, adj, max_haplotypes)
         out.windows.append(WindowGroups(start, end, labels))
