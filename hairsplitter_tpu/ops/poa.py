@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import native
-from ..constants import encode_seq
+from ..constants import decode_seq, encode_seq
 from ..io.cigar import expand_cigar
 
 # racon CLI defaults: --match 3 --mismatch -5 --gap -4
@@ -272,7 +272,8 @@ def polish_poa_multi(
             if not seen_alns[g]:
                 active[g] = False
                 continue
-            new = "".join("ACGT-N"[c] for c in np.concatenate(pieces[g]) if c < 4)
+            cat = np.concatenate(pieces[g])
+            new = decode_seq(cat[cat < 4])
             if new == cur[g] or len(new) < min_len:
                 active[g] = False
             else:

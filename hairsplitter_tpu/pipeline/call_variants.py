@@ -22,7 +22,7 @@ import numpy as np
 from ..constants import GAP, TRIMER_ABSENT, encode_seq
 from ..core.datatypes import Alignment
 from ..ops.variants import column_stats, suspect_mask, window_error_stats
-from ..utils.shapes import pow2_bucket
+from ..utils.shapes import pow2_bucket, pull_all
 from .pileup import WINDOW, build_window_blocks, orient_read
 
 
@@ -36,6 +36,33 @@ class SparseColumn:
     top2: int  # trimer code of the second allele
     rows: np.ndarray
     alleles: np.ndarray  # trimer codes, parallel to rows
+
+
+def build_allele_indicators(
+    columns: list[SparseColumn], n_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (second-allele, majority-allele) indicator matrices,
+    uint8 [S, n_rows]: one flat scatter over all columns' cells instead of
+    a Python loop per column (the loop dominated robust_filter at 3k+
+    suspect columns)."""
+    S = len(columns)
+    A = np.zeros((S, n_rows), dtype=np.uint8)
+    R = np.zeros((S, n_rows), dtype=np.uint8)
+    if S == 0:
+        return A, R
+    sizes = np.array([c.rows.size for c in columns], dtype=np.int64)
+    if sizes.sum() == 0:
+        return A, R
+    all_rows = np.concatenate([c.rows for c in columns])
+    all_al = np.concatenate([c.alleles for c in columns])
+    col_id = np.repeat(np.arange(S, dtype=np.int64), sizes)
+    top2 = np.repeat(np.array([c.top2 for c in columns]), sizes)
+    top1 = np.repeat(np.array([c.top1 for c in columns]), sizes)
+    m2 = all_al == top2
+    A[col_id[m2], all_rows[m2]] = 1
+    m1 = all_al == top1
+    R[col_id[m1], all_rows[m1]] = 1
+    return A, R
 
 
 @dataclass
@@ -117,12 +144,9 @@ def robust_filter(
     S = len(columns)
     if S == 0:
         return [], []
-    A = np.zeros((S, n_rows), dtype=np.uint8)  # second allele indicator
-    Rf = np.zeros((S, n_rows), dtype=np.uint8)  # majority allele indicator
+    # A: second-allele indicator, Rf: majority-allele indicator [S, n_rows]
+    A, Rf = build_allele_indicators(columns, n_rows)
     pos = np.array([c.pos for c in columns])
-    for s, c in enumerate(columns):
-        A[s, c.rows[c.alleles == c.top2]] = 1
-        Rf[s, c.rows[c.alleles == c.top1]] = 1
     use_dev = S >= 512 and _accel_available()
     Ap_dev = Rp_dev = None
     if use_dev:
@@ -149,8 +173,9 @@ def robust_filter(
         corr_b, flip_b = pairwise_column_correlation_packed(
             Ap_dev, Rp_dev, posp, np.float32(cfg.chi2_keep), np.int64(cfg.max_partition_span)
         )
-        corr = np.unpackbits(np.asarray(corr_b), axis=1, bitorder="little")[:S, :S].astype(bool)
-        flip = np.unpackbits(np.asarray(flip_b), axis=1, bitorder="little")[:S, :S].astype(bool)
+        corr_h, flip_h = pull_all(corr_b, flip_b)
+        corr = np.unpackbits(corr_h, axis=1, bitorder="little")[:S, :S].astype(bool)
+        flip = np.unpackbits(flip_h, axis=1, bitorder="little")[:S, :S].astype(bool)
     else:
         Af = A.astype(np.float32)
         Rff = Rf.astype(np.float32)
@@ -297,11 +322,7 @@ def robust_filter(
 
     # rescue pass over non-suspect candidates (chi² > 20 vs a kept partition)
     if rescue_pool:
-        Ar = np.zeros((len(rescue_pool), n_rows), dtype=np.uint8)
-        Rr = np.zeros((len(rescue_pool), n_rows), dtype=np.uint8)
-        for s, c in enumerate(rescue_pool):
-            Ar[s, c.rows[c.alleles == c.top2]] = 1
-            Rr[s, c.rows[c.alleles == c.top1]] = 1
+        Ar, Rr = build_allele_indicators(rescue_pool, n_rows)
         if use_dev and len(rescue_pool) >= 512:
             from ..ops.variants import partition_rescue_keep_packed
 
@@ -434,9 +455,8 @@ def finish_preps(
                 blk = pending[pi].blocks[i]
                 tri_p[bi, : blk.tri.shape[0]] = blk.tri
                 codes_p[bi] = pending[pi].codes_ws[i]
-            tc_b, tn_b, cov_b, mm_b, cc_b = _window_stats_batch(tri_p, codes_p)
-            tc_b, tn_b, cov_b, mm_b, cc_b = (
-                np.asarray(a) for a in (tc_b, tn_b, cov_b, mm_b, cc_b)
+            tc_b, tn_b, cov_b, mm_b, cc_b = pull_all(
+                *_window_stats_batch(tri_p, codes_p)
             )
             for bi, key in enumerate(part):
                 results[key] = (tc_b[bi], tn_b[bi], cov_b[bi], mm_b[bi], cc_b[bi])

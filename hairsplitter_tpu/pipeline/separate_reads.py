@@ -22,7 +22,7 @@ import numpy as np
 
 from .. import native
 from ..ops.cluster import cw_numpy
-from ..utils.shapes import pad_axis, pow2_bucket
+from ..utils.shapes import pad_axis, pow2_bucket, pull_all
 from .call_variants import ContigVariants, SparseColumn
 
 
@@ -131,13 +131,13 @@ class ContigGroups:
 
 
 def _allele_indicators(columns: list[SparseColumn], n_rows: int):
-    S = len(columns)
-    A = np.zeros((n_rows, S), dtype=np.float32)
-    R = np.zeros((n_rows, S), dtype=np.float32)
-    for s, c in enumerate(columns):
-        A[c.rows[c.alleles == c.top2], s] = 1.0
-        R[c.rows[c.alleles == c.top1], s] = 1.0
-    return A, R
+    from .call_variants import build_allele_indicators
+
+    At, Rt = build_allele_indicators(columns, n_rows)  # uint8 [S, n_rows]
+    return (
+        np.ascontiguousarray(At.T, dtype=np.float32),
+        np.ascontiguousarray(Rt.T, dtype=np.float32),
+    )
 
 
 def _sims_diffs_host(A, R):
@@ -327,11 +327,13 @@ def merge_wrongly_split(
                         incompat[gidx[g2], gidx[g1]] += 1
                         last_pos[gidx[g1], gidx[g2]] = col.pos
                         last_pos[gidx[g2], gidx[g1]] = col.pos
-    # link fractions between clusters (vectorized over the edge list)
-    r1s, r2s = np.nonzero(adj)
-    e_ok = (labels[r1s] >= 0) & (labels[r2s] >= 0)
-    c1 = lut[labels[r1s[e_ok]]]
-    c2 = lut[labels[r2s[e_ok]]]
+    # link fractions between clusters (vectorized over the edge list of the
+    # labeled-row submatrix — edges touching unlabeled rows are dropped
+    # anyway, and the submatrix scan is r^2, not R^2, per window)
+    lab_rows = np.nonzero(labels >= 0)[0]
+    rr1, rr2 = np.nonzero(adj[np.ix_(lab_rows, lab_rows)])
+    c1 = lut[labels[lab_rows[rr1]]]
+    c2 = lut[labels[lab_rows[rr2]]]
     per_cluster = np.bincount(c1, minlength=G).astype(np.float64)
     links = np.zeros((G, G))
     d_ok = c1 != c2
@@ -608,8 +610,7 @@ def _phase_windows_compact(
     adj_d, labs_d = phase_windows_sub_jit(
         sims_p, diffs_p, masks_p, inits_p, np.float32(error_rate)
     )
-    adj_all = np.asarray(adj_d)
-    labs_all = np.asarray(labs_d)
+    adj_all, labs_all = pull_all(adj_d, labs_d)
     out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for bi, i in enumerate(idxs):
         rows = rows_of[i]
@@ -652,8 +653,7 @@ def _phase_windows_full(
         adj_d, labs_d = phase_windows_jit(
             sim_p, diff_p, masks_p, inits_p, np.float32(error_rate)
         )
-        adj_all = np.asarray(adj_d)
-        labs_all = np.asarray(labs_d)
+        adj_all, labs_all = pull_all(adj_d, labs_d)
         for bi, i in enumerate(grp):
             out[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
     return out

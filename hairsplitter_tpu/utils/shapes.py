@@ -20,6 +20,22 @@ def pow2_bucket(n: int, minimum: int = 32) -> int:
     return max(minimum, 1 << (n - 1).bit_length())
 
 
+def pull_all(*arrs) -> list[np.ndarray]:
+    """Materialize several device arrays concurrently.
+
+    Through a tunneled/remote device each device->host pull is
+    latency-bound; issuing them from a thread pool overlaps the transfers
+    (measured 3.4x on 8 buffers vs sequential np.asarray, and better than
+    copy_to_host_async, which the axon runtime serializes). On local
+    backends the pool adds only microseconds."""
+    if len(arrs) <= 1:
+        return [np.asarray(a) for a in arrs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(arrs))) as ex:
+        return list(ex.map(np.asarray, arrs))
+
+
 def pad_axis(arr: np.ndarray, axis: int, size: int, fill) -> np.ndarray:
     """Pad `arr` with `fill` along `axis` up to `size` (no-op if already)."""
     if arr.shape[axis] >= size:
