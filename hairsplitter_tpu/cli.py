@@ -27,7 +27,11 @@ def parse_args(argv=None):
         "-x", "--technology", default="ont", choices=["ont", "pacbio", "hifi", "amplicon"]
     )
     p.add_argument("-t", "--threads", type=int, default=1, help="host threads (device ops are batched)")
-    p.add_argument("-s", "--dont_simplify", action="store_true", help="skip the untangling stage")
+    p.add_argument(
+        "-s", "--dont_simplify", action="store_true",
+        help="untangle without merging adjacent contigs (reference passes "
+        "--dont_merge to GraphUnzip, hairsplitter.py:806-816)",
+    )
     p.add_argument(
         "-P", "--polish-everything", action="store_true", help="polish all contigs, even unseparated"
     )
@@ -43,8 +47,9 @@ def parse_args(argv=None):
     p.add_argument(
         "--rarest-strain-abundance",
         type=float,
-        default=0.05,
-        help="abundance of the rarest strain to recover (drives coverage caps)",
+        default=0.01,
+        help="abundance of the rarest strain to recover (drives coverage "
+        "caps; reference default 0.01, hairsplitter.py:45)",
     )
     p.add_argument(
         "-c", "--haploid-coverage", type=float, default=0.0, help="coverage of one haplotype (ploidy cap)"

@@ -247,10 +247,16 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     spec = cfg.spec
     B, T = spec.chunk, spec.t_width
     results: list[dict] = [None] * len(jobs)
-    # two fixed shapes only (compiles are expensive through the tunnel): the
-    # big production bucket, and a small one so consensus-polish remaps of a
-    # single read group don't pay a full-size kernel + pull
-    bucket = cfg.batch if len(jobs) > 256 else min(256, cfg.batch)
+    # three fixed shapes only (compiles are expensive through the tunnel):
+    # the big production bucket, a mid tier so a few hundred-to-2k jobs
+    # (polish remaps) don't pad to the full 8192 rows (~4x device DP + pull
+    # bytes), and a small one for single-group remaps
+    if len(jobs) > 2048:
+        bucket = cfg.batch
+    elif len(jobs) > 256:
+        bucket = min(2048, cfg.batch)
+    else:
+        bucket = min(256, cfg.batch)
     if cfg.use_myers and spec.band == 128 and bucket % 32 == 0:
         kernel = "myers"
     elif cfg.use_pallas:

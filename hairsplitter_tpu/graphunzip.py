@@ -134,7 +134,16 @@ def cmd_unzip(args) -> int:
         print(f"-D: duplicated {n_dup} contig copies by topology")
     remove_tips(g)
     g.dedupe_links()
-    composition = merge_linear_chains(g)
+    if args.dont_merge:
+        # reference --dont_merge (HairSplitter -s): duplicate but don't
+        # merge unbranched chains (`graphunzip.py:468-477`)
+        composition = {n: [(n, 1)] for n in g.segments}
+    else:
+        composition = merge_linear_chains(g)
+    # export ordering (`input_output.py:379-383`): longest first, or
+    # most-covered first with -x (amplicon mode, `graphunzip.py:468-472`)
+    key = (lambda n: g.depths.get(n, 0.0)) if args.sort_coverage else (lambda n: len(g.segments[n]))
+    g.segments = {n: g.segments[n] for n in sorted(g.segments, key=key, reverse=True)}
     write_gfa(g, args.out)
     if args.fasta:
         write_fasta(args.fasta, gfa_to_fasta(g))
@@ -241,6 +250,19 @@ def main(argv=None) -> int:
         "--duplicate",
         action="store_true",
         help="duplicate contigs by topology+coverage (reference finish_untangling.py:223)",
+    )
+    u.add_argument(
+        "--dont_merge",
+        action="store_true",
+        help="don't merge unbranched chains after duplication (reference "
+        "--dont_merge; HairSplitter -s passes this, hairsplitter.py:806-816)",
+    )
+    u.add_argument(
+        "-x",
+        "--sort-coverage",
+        action="store_true",
+        help="sort exported contigs by coverage instead of length "
+        "(amplicon mode, reference graphunzip.py:468-472)",
     )
     u.add_argument("--supercontigs", default="supercontigs.txt")
     u.set_defaults(fn=cmd_unzip)

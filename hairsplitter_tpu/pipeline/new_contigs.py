@@ -198,15 +198,15 @@ def create_new_contigs(
                     rc = [(cells[r][0], cells[r][1]) for r in rows]
                     ri = [(cells[r][2], cells[r][3]) for r in rows]
                     # polishing triage ladder (reference tools.cpp:397-444):
-                    # a structurally bad backbone is rebuilt before voting
-                    code = 0
-                    if rows.size >= 2:
-                        code = check_backbone(
-                            [alns[r] for r in rows],
-                            [len(read_seqs[alns[r].read_idx]) for r in rows],
-                            iv.start,
-                            iv.end,
-                        )
+                    # a structurally bad backbone is rebuilt before voting;
+                    # groups with <2 reads route to code 2 / reassembly like
+                    # the reference (`nb_reads < 2` -> 2, tools.cpp:1045-1047)
+                    code = check_backbone(
+                        [alns[r] for r in rows],
+                        [len(read_seqs[alns[r].read_idx]) for r in rows],
+                        iv.start,
+                        iv.end,
+                    )
                     if code != 0:
                         baseline = consensus_from_cells(
                             backbone, iv.start, rc, ri, base_caller=base_caller

@@ -65,7 +65,9 @@ class PipelineConfig:
     dont_simplify: bool = False  # reference -s: skip GraphUnzip
     auto_frac: float = 0.33  # reference -u
     haploid_coverage: float = 0.0  # reference -c (ploidy inference)
-    rarest_strain_abundance: float = 0.05
+    # reference default 0.01 (`hairsplitter.py:45`) -> per-column coverage
+    # cap 50/abundance = 5000 (`separate_reads.cpp:1420-1426`)
+    rarest_strain_abundance: float = 0.01
     max_contig_chunk: int = 300_000
     min_read_quality: float = 0.0  # reference -q (fastq only)
     resume: bool = False
@@ -382,6 +384,18 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
             for contig, cv in variants.items():
                 assembly.depths.setdefault(contig, cv.depth)
             ploidy = determine_multiplicity(assembly, cfg.haploid_coverage)
+            # the GraphUnzip function yields a topology-driven MINIMUM
+            # multiplicity (`determine_multiplicity.py:157`), which reports 1
+            # for e.g. an isolated diploid contig; the stage-4 haplotype cap
+            # must also honor the contig's own depth. round(d/hc) = m always
+            # satisfies the reference's depth guard (d/hc > m/1.5 for m>=2),
+            # so the floor never reintroduces junction over-estimates.
+            for contig in ploidy:
+                d = assembly.depths.get(contig, 0.0)
+                if d > 0:
+                    ploidy[contig] = max(
+                        ploidy[contig], round(d / cfg.haploid_coverage)
+                    )
             write_ploidy(os.path.join(tmp_dir, "ploidy.txt"), ploidy)
 
         def _sep(contig):
@@ -459,18 +473,28 @@ def run_pipeline(assembly_path: str, reads_path: str, out_dir: str, cfg: Pipelin
     log.log(f"  {len(zr.graph.segments)} new contigs")
 
     # ---- stage 6: untangle --------------------------------------------------
-    if cfg.dont_simplify:
-        final_graph = zr.graph
-        supercontigs = {n: [(n, 1)] for n in final_graph.segments}
-    else:
-        log.log("STAGE 6 untangling with read paths")
-        t0 = time.time()
-        ur = unzip(zr.graph, zr.read_paths)
-        final_graph = ur.graph
-        supercontigs = ur.supercontigs
-        stats.record("untangle", time.time() - t0, contigs=len(final_graph.segments))
-        log.log(f"  {len(final_graph.segments)} contigs after untangling")
+    # `-s` does NOT skip untangling: the reference still runs GraphUnzip and
+    # only passes --dont_merge (`hairsplitter.py:806-816`), so haplotype
+    # copies are made but unbranched chains stay separate contigs
+    log.log("STAGE 6 untangling with read paths" + (" (no chain merge: -s)" if cfg.dont_simplify else ""))
+    t0 = time.time()
+    ur = unzip(zr.graph, zr.read_paths, merge=not cfg.dont_simplify)
+    final_graph = ur.graph
+    supercontigs = ur.supercontigs
+    stats.record("untangle", time.time() - t0, contigs=len(final_graph.segments))
+    log.log(f"  {len(final_graph.segments)} contigs after untangling")
 
+    # export ordering parity (`input_output.py:379-383` via `graphunzip.py:
+    # 468-472`): longest first, most-covered first for amplicon (-x)
+    sort_key = (
+        (lambda n: final_graph.depths.get(n, 0.0))
+        if amplicon
+        else (lambda n: len(final_graph.segments[n]))
+    )
+    final_graph.segments = {
+        n: final_graph.segments[n]
+        for n in sorted(final_graph.segments, key=sort_key, reverse=True)
+    }
     write_gfa(final_graph, final_gfa)
     write_fasta(final_fasta, gfa_to_fasta(final_graph))
     with open(os.path.join(out_dir, "hairsplitter_summary.txt"), "w") as f:

@@ -456,6 +456,12 @@ def separate_reads_for_contig(
 
     spans = np.asarray(read_spans, dtype=np.int64).reshape(n_rows, 2)
     pos_arr = np.array([c.pos for c in columns], dtype=np.int64)
+    # merge_wrongly_split's binary-search fast path requires sorted column
+    # positions (call_variants sorts them; guard the precondition once per
+    # contig rather than trusting it silently)
+    assert pos_arr.size < 2 or bool(np.all(np.diff(pos_arr) >= 0)), (
+        "pileup columns must be sorted by position"
+    )
 
     # phase A (host, cheap): window descriptors — bounds, in-window SNPs,
     # span masks, and seed labelings

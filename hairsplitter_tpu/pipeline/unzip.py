@@ -394,14 +394,21 @@ def unzip(
     g: AssemblyGraph,
     read_paths: dict[int, list[tuple[str, int]]],
     careful: bool = True,
+    merge: bool = True,
 ) -> UnzipResult:
+    """merge=False is the reference's `--dont_merge` (HairSplitter's `-s`
+    passes it, `hairsplitter.py:806-816`): contigs are still duplicated and
+    tips shaved, but unbranched chains are NOT merged into supercontigs."""
     support = count_link_support(read_paths)
     if careful:
         remove_unsupported_links(g, support)
     duplicate_contigs(g, read_paths)
     remove_tips(g)
     g.dedupe_links()
-    composition = merge_linear_chains(g)
+    if merge:
+        composition = merge_linear_chains(g)
+    else:
+        composition = {n: [(n, 1)] for n in g.segments}
     return UnzipResult(graph=g, supercontigs=composition)
 
 
