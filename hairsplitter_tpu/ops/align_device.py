@@ -200,10 +200,14 @@ def align_traceback_rows(
     start_b) followed by the per-row traceback tokens. Decode with
     `expand_rows_host` — outputs equal the host readout+traceback_batch
     pair element for element."""
+    tb_words = None
     if kernel == "myers":
-        from .align_myers_pallas import myers_align_device
+        from .align_myers_pallas import myers_traceback_device
 
-        res = myers_align_device(q, t, q_lens, t_lens, spec, interpret=interpret)
+        res, nl_w, up_w = myers_traceback_device(
+            q, t, q_lens, t_lens, spec, interpret=interpret
+        )
+        tb_words = (nl_w, up_w)
     elif kernel == "pallas":
         from .align_pallas import banded_align_batch_pallas
 
@@ -215,7 +219,11 @@ def align_traceback_rows(
     cost, start_i, start_b, clip = readout_device(
         res, q_lens, t_lens, modes.astype(jnp.int32), spec
     )
-    if "enc" in res:
+    if tb_words is not None:
+        from .align_myers_pallas import traceback_scan_words
+
+        toks = traceback_scan_words(tb_words[0], tb_words[1], start_i, start_b)
+    elif "enc" in res:
         toks = traceback_scan(res["enc"], start_i, start_b)
     else:
         toks = traceback_rows_device(res["bp"], start_i, start_b, spec)

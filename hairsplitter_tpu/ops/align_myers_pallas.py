@@ -47,7 +47,11 @@ def _pick_sublanes(n_groups_rows: int) -> int:
     raise ValueError(f"N/32 = {n_groups_rows} not factorable into sublanes")
 
 
-def _myers_kernel(rows_per_step: int, sublanes: int):
+def _myers_kernel(rows_per_step: int, sublanes: int, emit_tb: bool = False, dl: int = 64):
+    """emit_tb: also classify every cell's backpointer from the live
+    bitvectors and emit two extra bit-packed streams (nonleft, isup) — the
+    traceback run information at 2 bits/cell instead of the int16 enc
+    plane's 16 (see `myers_traceback_device` for the exactness argument)."""
     RG = rows_per_step
     S = sublanes
     u32 = jnp.uint32
@@ -58,16 +62,23 @@ def _myers_kernel(rows_per_step: int, sublanes: int):
         pl_ref,  # uint32 [1, 4, S, 128] initial Peq planes (codes 0..3)
         p_out,  # uint32 [1, 1, S, RG, 128]
         m_out,  # uint32 [1, 1, S, RG, 128]
-        Pv,  # scratch uint32 [S, 128]
-        Mv,  # scratch uint32 [S, 128]
-        planes,  # scratch uint32 [4, S, 128]
+        *rest,  # with emit_tb: nl_out, up_out uint32 [1, 1, S, RG, 128]; then scratch
+        # Pv scratch uint32 [S, 128]
+        # Mv scratch uint32 [S, 128]
+        # planes scratch uint32 [4, S, 128]
     ):
+        if emit_tb:
+            nl_out, up_out, Pv, Mv, planes = rest
+        else:
+            Pv, Mv, planes = rest
         step = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), dimension=1)
         w = lane % NW
         is_w0 = w == 0
         is_w3 = w == NW - 1
         zero = jnp.zeros((S, LANES), u32)
+        ones32 = jnp.full((S, LANES), 0xFFFFFFFF, u32)
+        base = 32 * w  # cellpos of bit 0 in this lane's word
         one31 = jnp.uint32(31)
         one = jnp.uint32(1)
 
@@ -121,6 +132,36 @@ def _myers_kernel(rows_per_step: int, sublanes: int):
             Xh = (s ^ eP) | eq
             Ph = eM | ~(Xh | eP)
             Mh = eP & Xh
+            if emit_tb:
+                # per-cell backpointer classification from the live deltas
+                # (pre-shift Ph/Mh = C_i[b] - C_{i-1}[b+1], eP/eM =
+                # C_{i-1}[b+1] - C_{i-1}[b]):
+                #   DIAG <=> (Ph-Mh) + (eP-eM) == (eq ? 0 : 1)
+                #   UP   <=> Ph (else), forced at the j==0 column, barred at
+                #            the band top (the +1 fill fakes C_{i-1}[W])
+                # bit-exact vs the int32 kernel's op on every cell a
+                # traceback can reach (proven: j==0 cells are always UP, so
+                # the run prefix-max never sees the j<0 sentinel region)
+                d1 = (Ph & eM) | (Mh & eP) | (~(Ph | Mh) & ~(eP | eM))
+                d0 = (Ph & ~(eP | eM)) | (eP & ~(Ph | Mh))
+                diag = (eq & d1) | (~eq & d0)
+                i_row = step * RG + r + 1
+                off1 = (dl + 1 - i_row) - base  # j >= 1 suffix mask per word
+                sh1 = jnp.clip(off1, 0, 31).astype(u32)
+                m_ge1 = jnp.where(
+                    off1 <= 0, ones32, jnp.where(off1 >= 32, zero, ones32 << sh1)
+                )
+                pos0 = (dl - i_row) - base  # the j == 0 bit, if in this word
+                m_j0 = jnp.where(
+                    (pos0 >= 0) & (pos0 < 32),
+                    jnp.full((S, LANES), 1, u32) << jnp.clip(pos0, 0, 31).astype(u32),
+                    zero,
+                )
+                top_ok = jnp.where(is_w3, jnp.uint32(0x7FFFFFFF), jnp.uint32(0xFFFFFFFF))
+                diag = diag & m_ge1
+                up = ((Ph & top_ok) | m_j0) & ~diag
+                nl_out[0, 0, :, r, :] = diag | up
+                up_out[0, 0, :, r, :] = up
             Ph1 = shl1(Ph, jnp.broadcast_to(one, (S, LANES)))
             Mh1 = shl1(Mh, zero)
             P = Mh1 | ~(Xv | Ph1)
@@ -153,7 +194,7 @@ def _pack_plane_words(t0_bits: jnp.ndarray) -> jnp.ndarray:
     return out[:, 0::2] | (out[:, 1::2] << jnp.uint32(16))
 
 
-@partial(jax.jit, static_argnames=("spec", "interpret", "rows_per_step", "sublanes"))
+@partial(jax.jit, static_argnames=("spec", "interpret", "rows_per_step", "sublanes", "emit_tb"))
 def myers_rows_pallas(
     q: jnp.ndarray,  # int8 [N, B]
     t: jnp.ndarray,  # int8 [N, T]
@@ -161,9 +202,12 @@ def myers_rows_pallas(
     interpret: bool = False,
     rows_per_step: int = 16,
     sublanes: int | None = None,
+    emit_tb: bool = False,
 ):
     """Device Myers row loop; returns (P, M) uint32 [N, B, 4] delta words,
-    identical to `myers_rows_numpy`.  Feed to `myers_to_align_result`."""
+    identical to `myers_rows_numpy`.  Feed to `myers_to_align_result`.
+    With emit_tb, returns (P, M, nonleft, isup) — the two extra streams are
+    the bit-packed backpointer classification for `myers_traceback_device`."""
     N, B = q.shape
     W = spec.band
     assert W == LANES, "Myers kernel is specialised to band=128"
@@ -193,22 +237,22 @@ def myers_rows_pallas(
         axis=1,
     )  # [G, 4, S, 128]
 
-    p_out, m_out = pl.pallas_call(
-        _myers_kernel(RG, S),
+    n_out = 4 if emit_tb else 2
+    stream_spec = pl.BlockSpec(
+        (1, 1, S, RG, LANES), lambda g, i: (g, i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        _myers_kernel(RG, S, emit_tb=emit_tb, dl=dl),
         grid=(G, n_steps),
         in_specs=[
             pl.BlockSpec((1, 1, RG, S, LANES), lambda g, i: (i, g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RG, S, LANES), lambda g, i: (i, g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, S, LANES), lambda g, i: (g, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, S, RG, LANES), lambda g, i: (g, i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, RG, LANES), lambda g, i: (g, i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[stream_spec] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((G, n_steps, S, RG, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((G, n_steps, S, RG, LANES), jnp.uint32),
-        ],
+            jax.ShapeDtypeStruct((G, n_steps, S, RG, LANES), jnp.uint32)
+        ] * n_out,
         scratch_shapes=[
             pltpu.VMEM((S, LANES), jnp.uint32),
             pltpu.VMEM((S, LANES), jnp.uint32),
@@ -219,12 +263,12 @@ def myers_rows_pallas(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * N * B * W,
-            bytes_accessed=2 * N * B * (W // 8) + 8 * N * B,
+            flops=(6 if emit_tb else 4) * N * B * W,
+            bytes_accessed=n_out * N * B * (W // 8) + 8 * N * B,
             transcendentals=0,
         ),
     )(qb, injb, planes0)
-    return p_out, m_out
+    return tuple(outs)
 
 
 def words_from_device(p_out: np.ndarray, spec_chunk: int) -> np.ndarray:
@@ -329,6 +373,153 @@ def myers_align_device(
         "colmin_val": colmin_val,
         "colmin_i": colmin_i,
     }
+
+
+def _mask_le(off: jnp.ndarray) -> jnp.ndarray:
+    """uint32 mask of bits [0 .. off] per element (off < 0 -> 0, off >= 31 ->
+    all ones); off is int32."""
+    full = jnp.uint32(0xFFFFFFFF)
+    sh = jnp.clip(off + 1, 0, 31).astype(jnp.uint32)
+    return jnp.where(
+        off >= 31, full, jnp.where(off < 0, jnp.uint32(0), (jnp.uint32(1) << sh) - 1)
+    )
+
+
+def myers_word_readout(
+    P: jnp.ndarray,  # uint32 [N, B, 4] row-delta words
+    M: jnp.ndarray,
+    q_lens: jnp.ndarray,
+    t_lens: jnp.ndarray,
+    spec: BandSpec = BandSpec(),
+) -> dict:
+    """`banded_align_batch`'s readout quantities (row_at_q, colmin) straight
+    from the Myers delta WORDS — [N, B]-sized bit extracts and popcounts, so
+    the [N, B, W] cell plane of `myers_align_device` never exists. Formulas
+    mirror `myers_to_align_result` exactly (bit-identical, tested)."""
+    from .align import INF
+
+    N, B, nw = P.shape
+    W = spec.band
+    dl = spec.dl
+    q_lens = q_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+
+    # per-row anchor C_i[0] = dl + cumsum(1 + P_i[0] - M_i[0])
+    p0 = (P[:, :, 0] & 1).astype(jnp.int32)
+    m0 = (M[:, :, 0] & 1).astype(jnp.int32)
+    score0 = dl + jnp.cumsum(1 + p0 - m0, axis=1)  # [N, B], rows 1..B
+
+    # row at i == qlen: unpack ONE row per alignment
+    idx = jnp.clip(q_lens - 1, 0, B - 1)
+    Pq = jnp.take_along_axis(P, idx[:, None, None], axis=1)[:, 0]  # [N, nw]
+    Mq = jnp.take_along_axis(M, idx[:, None, None], axis=1)[:, 0]
+    dq = _unpack_bits_jnp(Pq, W) - _unpack_bits_jnp(Mq, W)  # [N, W]
+    dq = dq.at[:, 0].set(0)
+    s0q = jnp.take_along_axis(score0, idx[:, None], axis=1)
+    crow = s0q + jnp.cumsum(dq, axis=1)
+    bar = jnp.arange(W, dtype=jnp.int32)[None, :]
+    jq = q_lens[:, None] + bar - dl
+    valid = (jq >= 0) & (jq <= t_lens[:, None])
+    row_at_q = jnp.where(valid, jnp.minimum(crow, INF), INF).astype(jnp.int32)
+    j0 = bar - dl
+    row0 = jnp.where((j0 >= 0) & (j0 <= t_lens[:, None]), j0, INF).astype(jnp.int32)
+    row_at_q = jnp.where((q_lens == 0)[:, None], row0, row_at_q)
+    row_at_q = jnp.where((q_lens > B)[:, None], INF, row_at_q)
+
+    # j == tlen column: C_i[b_col] = score0_i + popcount-prefix of the row
+    # deltas up to b_col (bit 0 excluded — it is the anchor's own delta)
+    i = jnp.arange(1, B + 1, dtype=jnp.int32)[None, :]
+    b_col = t_lens[:, None] - i + dl  # [N, B]
+    base = 32 * jnp.arange(nw, dtype=jnp.int32)[None, None, :]
+    m_le = _mask_le(b_col[:, :, None] - base)
+    m_le = m_le.at[:, :, 0].set(m_le[:, :, 0] & jnp.uint32(0xFFFFFFFE))
+    pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)  # noqa: E731
+    colv = score0 + jnp.sum(pc(P & m_le) - pc(M & m_le), axis=2)
+    ok = (b_col >= 0) & (b_col < W) & (i <= q_lens[:, None])
+    colv = jnp.where(ok, jnp.minimum(colv, INF), INF)
+    colmin_i = jnp.argmin(colv, axis=1).astype(jnp.int32)
+    colmin_val = jnp.take_along_axis(colv, colmin_i[:, None], axis=1)[:, 0]
+    colmin_i = jnp.where(colmin_val >= INF, 0, colmin_i + 1)
+    colmin_val = jnp.minimum(colmin_val, INF)
+    return {"row_at_q": row_at_q, "colmin_val": colmin_val, "colmin_i": colmin_i}
+
+
+def traceback_scan_words(nl, up, start_i, start_b):
+    """Row-lockstep traceback over the bit-packed (nonleft, isup) streams
+    [N, B, 4]: per row, the nearest non-LEFT cell at-or-left-of the current
+    band position is the highest set bit of the masked nonleft words — found
+    with one clz instead of a 128-lane masked reduce over an int16 enc plane
+    (`traceback_scan`). Token semantics identical: d | (up << 7)."""
+    N, B, nw = nl.shape
+    base = 32 * jnp.arange(nw, dtype=jnp.int32)[None, :]
+    nl_rows = jnp.flip(jnp.transpose(nl, (1, 0, 2)), 0)  # [B, N, 4]: rows B..1
+    up_rows = jnp.flip(jnp.transpose(up, (1, 0, 2)), 0)
+    rr = jnp.arange(B, 0, -1, dtype=jnp.int32)
+    si = start_i.astype(jnp.int32)
+
+    def step(b, xs):
+        nlw, upw, r = xs
+        active = r <= si
+        x = nlw & _mask_le(b[:, None] - base)
+        # highest set bit over the 4-word vector + the isup bit there, as
+        # pure elementwise select chains (a take_along_axis gather per scan
+        # step lowered catastrophically: 12 ms of a 14.7 ms call)
+        found = jnp.zeros(x.shape[0], bool)
+        pos = jnp.zeros(x.shape[0], jnp.int32)
+        xw = jnp.zeros(x.shape[0], jnp.uint32)
+        uw = jnp.zeros(x.shape[0], jnp.uint32)
+        for w in range(nw):  # ascending: the last nonzero word wins
+            nz = x[:, w] != jnp.uint32(0)
+            found = found | nz
+            pos = jnp.where(nz, 32 * w, pos)
+            xw = jnp.where(nz, x[:, w], xw)
+            uw = jnp.where(nz, upw[:, w], uw)
+        hsb = jnp.clip(31 - jax.lax.clz(xw).astype(jnp.int32), 0, 31)
+        upbit = (uw >> hsb.astype(jnp.uint32)) & jnp.uint32(1)
+        pos = jnp.where(found, pos + hsb, 0)
+        upv = jnp.where(found, upbit.astype(jnp.int32), 0)
+        d = jnp.maximum(b - pos, 0)
+        token = jnp.where(active, d | (upv << 7), 0).astype(jnp.uint8)
+        b2 = jnp.where(active, pos + upv, b)
+        return b2, token
+
+    _, toks = jax.lax.scan(
+        step, start_b.astype(jnp.int32), (nl_rows, up_rows, rr), unroll=8
+    )
+    return jnp.flip(toks, 0).T  # [N, B]
+
+
+def myers_traceback_device(
+    q: jnp.ndarray,  # int8 [N, B]
+    t: jnp.ndarray,
+    q_lens: jnp.ndarray,
+    t_lens: jnp.ndarray,
+    spec: BandSpec = BandSpec(),
+    interpret: bool = False,
+) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+    """The production fused path: Myers kernel with in-kernel backpointer
+    classification (emit_tb) + word-level readout. Returns (readout dict,
+    nonleft words, isup words) for `align_traceback_rows` — NOTHING of size
+    [N, B, W] is ever materialised, on device or off.
+
+    Exactness: the in-kernel (nonleft, isup) bits equal the int32 kernel's
+    op classification on every cell a traceback can visit — visited cells
+    satisfy 1 <= i <= start_i <= qlen and the prefix-max a visited cell reads
+    only covers lanes with 0 <= j' <= j <= tlen (j is non-increasing along
+    the walk), where the pure-bitvector recurrence is exact; the j == 0
+    column is forced UP (provably its classification in the masked DP), so
+    the j < 0 sentinel region can never capture a run. Matches edlib's
+    traceback over its own P/M blocks (`src/edlib/src/edlib.cpp`,
+    obtainAlignmentTraceback) rather than re-deriving cell scores."""
+    p_dev, m_dev, nl_dev, up_dev = myers_rows_pallas(
+        q, t, spec, interpret=interpret, emit_tb=True
+    )
+    P = _words_from_device_jnp(p_dev)
+    M = _words_from_device_jnp(m_dev)
+    nl = _words_from_device_jnp(nl_dev)
+    upw = _words_from_device_jnp(up_dev)
+    res = myers_word_readout(P, M, q_lens, t_lens, spec)
+    return res, nl, upw
 
 
 def banded_align_batch_myers(
