@@ -1,27 +1,38 @@
-"""Benchmark: banded-alignment DP kernel throughput on the device.
+"""Benchmark: the PRODUCTION alignment device call + pipeline throughput.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-The metric is the core alignment-DP cell rate of the batched banded aligner
-(the engine's hot kernel, replacing minimap2/edlib base-level alignment;
-Pallas kernel on TPU, jnp scan on CPU). vs_baseline compares against the
-committed `bench_baseline.json` (first recorded measurement of this same
-kernel; the reference publishes no numbers — BASELINE.md).
+The headline is the cell rate of the production mapping device call — DP +
+readout + row-lockstep traceback fused (ops/align_device.py:
+align_traceback_rows), with the kernel MapConfig actually ships (the Myers
+bit-vector Pallas kernel with in-kernel traceback classification on TPU,
+the jnp scan on CPU). Since round 4 the headline IS the user-visible path:
+nothing is benchmarked that mapping does not run (VERDICT r3 weak #1).
+vs_baseline compares against `bench_baseline.json` (the first recorded
+measurement of the then-production DP call; the reference publishes no
+numbers — BASELINE.md).
+
+detail also carries pipeline-level numbers the driver can track:
+  mapping_read_kbp_per_s   — end-to-end mapping wall throughput
+  pipeline_read_kbp_per_s  — warm FULL-pipeline wall throughput on the
+                             300 kb 3-strain 30x dataset (VERDICT r3 #8)
 
 Methodology (CLAUDE.md): through the axon tunnel `jax.block_until_ready`
 does not reliably block, so all work is forced by a scalar fetch of an
 accumulator that data-depends on every call in the stream. Inputs are
-device-resident (as in the production mapper, which keeps batches on
-device); K dependency-chained calls pipeline their dispatch exactly like
-the production batch stream, and ONE final fetch forces the whole chain.
+device-resident (as in the production mapper); K dependency-chained calls
+pipeline their dispatch exactly like the production batch stream, and ONE
+final fetch forces the whole chain.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,12 +40,108 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _bench_batch(spec, N: int):
+    """Device-resident operands: queries + 5%-mutated targets so the DP
+    follows realistic paths."""
+    import jax
+
+    from hairsplitter_tpu.ops.align import T_SENTINEL
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (N, spec.chunk)).astype(np.int8)
+    t = np.full((N, spec.t_width), T_SENTINEL, dtype=np.int8)
+    t[:, : spec.chunk] = np.where(
+        rng.random((N, spec.chunk)) < 0.05, rng.integers(0, 4, (N, spec.chunk)), q
+    )
+    ql = np.full(N, spec.chunk, np.int32)
+    tl = np.full(N, spec.chunk, np.int32)
+    modes = np.zeros(N, np.int32)
+    return tuple(jax.device_put(a) for a in (q, ql, t, tl, modes))
+
+
+def _time_chained(one, windows: int = 3, iters: int = 10) -> float:
+    """Best-of-`windows` of `iters` dependency-chained calls, one forced
+    fetch; returns seconds per call."""
+    import jax.numpy as jnp
+
+    int(one(jnp.zeros((), jnp.int32)))  # compile + settle
+    best = float("inf")
+    for _ in range(windows):
+        acc = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = one(acc)
+        int(acc)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def fused_production_rate(spec, kernel: str) -> dict:
+    """The headline: the production mapping device call (DP + readout +
+    traceback fused) at the production 2048 bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    from hairsplitter_tpu.ops.align_device import align_traceback_rows
+
+    N = 2048
+    q, ql, t, tl, modes = _bench_batch(spec, N)
+
+    @jax.jit
+    def one(acc):
+        f = align_traceback_rows(q, ql, t, tl, modes, spec, kernel)
+        return acc + f[0, 0].astype(jnp.int32) + f[-1, -1].astype(jnp.int32)
+
+    per_call = _time_chained(one)
+    return {
+        "cells_per_s": round(N * spec.chunk * spec.band / per_call, 1),
+        "fused_align_traceback_ms_per_2048": round(per_call * 1e3, 2),
+        "fused_kernel": kernel,
+    }
+
+
+def raw_kernel_rate(spec, on_tpu: bool) -> dict:
+    """The raw DP kernel alone (detail): Myers bit-vector Pallas on TPU at
+    N=16384, the jnp scan on CPU at N=512."""
+    import jax
+    import jax.numpy as jnp
+
+    if on_tpu:
+        from hairsplitter_tpu.ops.align_myers_pallas import myers_rows_pallas
+
+        N = 16384
+        q, ql, t, tl, _ = _bench_batch(spec, N)
+
+        @jax.jit
+        def one(acc):
+            p, m = myers_rows_pallas(q, t, spec)
+            return acc + p[0, 0, 0, 0, 0].astype(jnp.int32) + m[-1, -1, -1, -1, -1].astype(jnp.int32)
+
+        name = "myers-pallas"
+    else:
+        from hairsplitter_tpu.ops.align import banded_align_batch
+
+        N = 512
+        q, ql, t, tl, _ = _bench_batch(spec, N)
+
+        @jax.jit
+        def one(acc):
+            r = banded_align_batch(q, ql, t, tl, spec)
+            return acc + r["row_at_q"].sum() + r["bp"][0, 0, 0].astype(jnp.int32)
+
+        name = "jnp-scan"
+    per_call = _time_chained(one, windows=4)
+    return {
+        "raw_kernel": name,
+        "raw_kernel_cells_per_s": round(N * spec.chunk * spec.band / per_call, 1),
+        "raw_kernel_batch": N,
+    }
+
+
 def mapping_kbps(on_tpu: bool) -> dict:
     """End-to-end mapping throughput (read kbp mapped per second, wall
-    clock, host orchestration included) — the pipeline-level counterpart of
-    the kernel metric, so round-over-round perf claims are pipeline claims
-    (VERDICT round-1 weak #2). Mirrors the BASELINE.md dataset: 100 kb
-    contig at 36x with 10%-error 8 kb reads (scaled down on CPU)."""
+    clock, host orchestration included). Mirrors the BASELINE.md dataset:
+    100 kb contig at 36x with 10%-error 8 kb reads (scaled down on CPU)."""
     from hairsplitter_tpu.core.mapping import MapConfig, map_reads
     from hairsplitter_tpu.utils.sim import random_genome, simulate_reads
 
@@ -53,120 +160,69 @@ def mapping_kbps(on_tpu: bool) -> dict:
         t0 = time.perf_counter()
         alns = map_reads({"c": genome}, sim.seqs, cfg)
         best = min(best, time.perf_counter() - t0)
-    dt = best
     return {
-        "mapping_read_kbp_per_s": round(total_bp / 1e3 / dt, 1),
+        "mapping_read_kbp_per_s": round(total_bp / 1e3 / best, 1),
         "mapping_dataset": f"{size//1000}kb x {cov}x, {rlen//1000}kb reads, 10% err",
         "mapping_alignments": len(alns),
     }
 
 
-def fused_path_rate(spec) -> dict:
-    """Rate of the PRODUCTION mapping device call (DP + readout +
-    row-lockstep traceback fused, ops/align_device.py:align_traceback_rows)
-    at the production bucket size — the number that governs pipeline
-    mapping throughput, alongside the raw-kernel headline."""
-    import jax
-    import jax.numpy as jnp
+def pipeline_kbps(on_tpu: bool) -> dict:
+    """Warm full-pipeline wall throughput (VERDICT r3 #8): cold run pays the
+    remote compiles, the warm run is the deployment-representative number
+    (local-TPU hosts cache compiles). 300 kb x 3 strains x 30x on TPU."""
+    from hairsplitter_tpu.io.fasta import write_fasta
+    from hairsplitter_tpu.pipeline.orchestrate import PipelineConfig, run_pipeline
+    from hairsplitter_tpu.utils import sim as hsim
 
-    from hairsplitter_tpu.ops.align import T_SENTINEL
-    from hairsplitter_tpu.ops.align_device import align_traceback_rows
-
-    N = 2048
-    rng = np.random.default_rng(0)
-    q = rng.integers(0, 4, (N, spec.chunk)).astype(np.int8)
-    t = np.full((N, spec.t_width), T_SENTINEL, dtype=np.int8)
-    t[:, : spec.chunk] = np.where(
-        rng.random((N, spec.chunk)) < 0.05, rng.integers(0, 4, (N, spec.chunk)), q
+    length, strains, cov = (300_000, 3, 30) if on_tpu else (40_000, 2, 12)
+    rng = np.random.default_rng(7)
+    haps = hsim.make_haplotypes(length, strains, 0.01, rng)
+    reads = hsim.simulate_reads(
+        haps, coverage=cov / strains, read_len=8000, rng=rng,
+        sub_rate=0.06, ins_rate=0.02, del_rate=0.02,
     )
-    ql = jax.device_put(np.full(N, spec.chunk, np.int32))
-    tl = jax.device_put(np.full(N, spec.chunk, np.int32))
-    modes = jax.device_put(np.zeros(N, np.int32))
-    q, t = jax.device_put(q), jax.device_put(t)
+    total_kbp = sum(len(s) for s in reads.seqs) / 1e3
+    root = tempfile.mkdtemp(prefix="hs_bench_pipe_")
+    try:
+        asm_path = os.path.join(root, "assembly.fasta")
+        reads_path = os.path.join(root, "reads.fasta")
+        write_fasta(asm_path, {"asm": haps[0]})
+        hsim.write_sim_fasta(reads_path, reads)
+        import contextlib
 
-    @jax.jit
-    def one(acc):
-        f = align_traceback_rows(q, ql, t, tl, modes, spec, "pallas")
-        return acc + f[0, 0].astype(jnp.int32) + f[-1, -1].astype(jnp.int32)
-
-    int(one(jnp.zeros((), jnp.int32)))
-    iters = 10
-    best = float("inf")
-    for _ in range(3):
-        acc = jnp.zeros((), jnp.int32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = one(acc)
-        int(acc)
-        best = min(best, time.perf_counter() - t0)
-    per_call = best / iters
+        with open(os.devnull, "w") as null, contextlib.redirect_stdout(null):
+            # the pipeline logger prints progress lines; bench.py's contract
+            # is ONE JSON line on stdout
+            run_pipeline(asm_path, reads_path, os.path.join(root, "out0"), PipelineConfig())
+            t0 = time.perf_counter()
+            run_pipeline(asm_path, reads_path, os.path.join(root, "out1"), PipelineConfig())
+            dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return {
-        "fused_align_traceback_ms_per_2048": round(per_call * 1e3, 2),
-        "fused_align_traceback_cells_per_s": round(N * spec.chunk * spec.band / per_call, 1),
+        "pipeline_read_kbp_per_s": round(total_kbp / dt, 1),
+        "pipeline_warm_wall_s": round(dt, 1),
+        "pipeline_dataset": f"{length//1000}kb x {strains} strains, {cov}x, 10% err",
     }
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from hairsplitter_tpu.ops.align import BandSpec, T_SENTINEL, banded_align_batch
+    from hairsplitter_tpu.core.mapping import MapConfig
+    from hairsplitter_tpu.ops.align import BandSpec
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        from hairsplitter_tpu.ops.align_myers_pallas import myers_rows_pallas
-
-        kernel_name = "myers-pallas"
-        N = 16384
-
-        def align_fn(q0, ql, t0_, tl):
-            # Myers streams P/M delta words; scores/backpointers are host
-            # reconstructions (ops/align_myers.py), so the kernel is the
-            # device cost. Bit-identical outputs proven in tests.
-            p, m = myers_rows_pallas(q0, t0_, spec)
-            return {"row_at_q": p[0, 0, 0, 0, :128].astype(jnp.int32), "bp": m[0, 0]}
-
-    else:
-        kernel_name = "jnp-scan"
-        N = 512
-
-        def align_fn(*a):
-            return banded_align_batch(*a, spec)
-
     spec = BandSpec(chunk=256, band=128)
-    rng = np.random.default_rng(0)
-    q = rng.integers(0, 4, (N, spec.chunk)).astype(np.int8)
-    # targets = queries with 5% errors so the DP follows realistic paths
-    t = np.full((N, spec.t_width), T_SENTINEL, dtype=np.int8)
-    t[:, : spec.chunk] = np.where(
-        rng.random((N, spec.chunk)) < 0.05,
-        rng.integers(0, 4, (N, spec.chunk)),
-        q,
+    cfg = MapConfig()
+    kernel = (
+        "myers" if (on_tpu and cfg.use_myers and spec.band == 128)
+        else ("pallas" if (on_tpu and cfg.use_pallas) else "jnp")
     )
-    q_lens = np.full(N, spec.chunk, np.int32)
-    t_lens = np.full(N, spec.chunk, np.int32)
-    q, q_lens, t, t_lens = (jax.device_put(a) for a in (q, q_lens, t, t_lens))
 
-    @jax.jit
-    def one(q0, ql, t0_, tl, acc):
-        r = align_fn(q0, ql, t0_, tl)
-        return acc + r["row_at_q"].sum() + r["bp"][0, 0, 0].astype(jnp.int32)
-
-    int(one(q, q_lens, t, t_lens, jnp.zeros((), jnp.int32)))  # compile + settle
-    iters = 10
-    best = float("inf")
-    for _ in range(4):
-        acc = jnp.zeros((), jnp.int32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = one(q, q_lens, t, t_lens, acc)
-        int(acc)  # forces the whole dependency chain
-        best = min(best, time.perf_counter() - t0)
-    dt = best
-
-    cells = N * spec.chunk * spec.band * iters
-    cells_per_s = cells / dt
-    bases_per_s = N * spec.chunk * iters / dt
+    fused = fused_production_rate(spec, kernel)
+    cells_per_s = fused.pop("cells_per_s")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     vs = 1.0
@@ -177,23 +233,24 @@ def main():
             vs = cells_per_s / base["value"]
 
     detail = {
-        "read_bases_aligned_per_s": round(bases_per_s, 1),
-        "batch": N,
+        "batch": 2048,
         "chunk": spec.chunk,
         "band": spec.band,
-        "kernel": kernel_name,
         "timing": "device-resident inputs, 10 dependency-chained calls, one forced fetch",
+        "headline": "production mapping device call: DP + readout + traceback fused, "
+        "the exact call core/mapping.py dispatches",
         "device": str(jax.devices()[0]),
+        **fused,
+        **raw_kernel_rate(spec, on_tpu),
+        **mapping_kbps(on_tpu),
+        **pipeline_kbps(on_tpu),
     }
-    if on_tpu:
-        detail.update(fused_path_rate(spec))
-    detail.update(mapping_kbps(on_tpu))
 
     print(
         json.dumps(
             {
                 "metric": "banded_align_DP_cells_per_s",
-                "value": round(cells_per_s, 1),
+                "value": cells_per_s,
                 "unit": "cells/s",
                 "vs_baseline": round(vs, 3),
                 "detail": detail,
