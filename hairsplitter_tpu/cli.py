@@ -64,8 +64,8 @@ def parse_args(argv=None):
         "--polisher",
         default="racon",
         choices=["racon", "medaka"],
-        help="racon: in-process pileup-vote consensus (+ iterative remap "
-        "rounds on noisy reads); medaka: NN base caller (models/polisher.py)",
+        help="racon: in-process vote+POA consensus ladder; medaka: adds the "
+        "pretrained NN base-caller pass after the ladder (models/polisher.py)",
     )
     p.add_argument(
         "-q", "--min-read-quality", type=float, default=0,

@@ -114,13 +114,17 @@ def polish_poa(
     window: int = 500,
     map_cfg=None,
     min_len: int = 300,
+    end_trim: bool = True,
 ) -> str:
     """racon-equivalent polish: remap the group's reads to the draft with the
     device mapper, POA-consensus each window, concatenate; iterate.
 
+    end_trim=False keeps the terminal windows' low-coverage end columns
+    (draft-length preserving — for junction fills, where the reference
+    re-attaches racon-dropped ends with edlib, tools.cpp:515-534).
     Falls back to the pileup-vote polish when the native library is absent."""
     return polish_poa_multi([draft], [reads], rounds=rounds, window=window,
-                            map_cfg=map_cfg, min_len=min_len)[0]
+                            map_cfg=map_cfg, min_len=min_len, end_trim=end_trim)[0]
 
 
 def polish_poa_multi(
@@ -132,6 +136,7 @@ def polish_poa_multi(
     min_len: int = 300,
     init_alns: list[list] | None = None,
     init_frames: list[tuple[int, int]] | None = None,
+    end_trim: bool = True,
 ) -> list[str]:
     """racon-equivalent polish of MANY independent (draft, read group) jobs
     per round: one restricted device mapping call covers every group's remap
@@ -257,7 +262,10 @@ def polish_poa_multi(
                     continue
                 jobs.append([backbone] + layers)
                 job_key.append((g, w))
-                job_cov.append(max(0, len(layers) // 2))  # racon's window coverage trim
+                cov = max(0, len(layers) // 2)  # racon's window coverage trim
+                if not end_trim and (w == 0 or w == nwin[g] - 1):
+                    cov = 1  # keep covered terminal columns (junction fills)
+                job_cov.append(cov)
         if jobs:
             res = native.poa_consensus_batch(
                 jobs, POA_MATCH, POA_MISMATCH, POA_GAP, min_covs=job_cov

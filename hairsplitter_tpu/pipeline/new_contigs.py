@@ -289,6 +289,21 @@ def create_new_contigs(
         )
         for job, seq_p in zip(poa_jobs, polished):
             new_graph.segments[job[0]] = seq_p
+        if base_caller is not None:
+            # -p medaka composes WITH the ladder (vote -> POA -> NN), the
+            # topology real medaka deployments use (polish racon output);
+            # the reference instead swaps the whole ladder for medaka
+            # (tools.cpp:594-689). A read-fit tournament keeps the NN pass
+            # from ever regressing below the ladder's output.
+            from ..ops.consensus import polish_iterative
+            from ..ops.triage import _backbone_badness
+
+            for job in poa_jobs:
+                name, reads_g = job[0], job[2]
+                cur = new_graph.segments[name]
+                nn_seq = polish_iterative(cur, reads_g, rounds=1, base_caller=base_caller)
+                if nn_seq != cur and _backbone_badness(nn_seq, reads_g) <= _backbone_badness(cur, reads_g):
+                    new_graph.segments[name] = nn_seq
 
     # original inter-contig links -> attach to terminal interval groups
     for l in assembly.links:
