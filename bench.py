@@ -207,6 +207,54 @@ def pipeline_kbps(on_tpu: bool) -> dict:
     }
 
 
+def quality_block(on_tpu: bool) -> dict:
+    """Fidelity alongside speed (VERDICT r3 #5): the hard-mode 3-strain mix
+    — abundances 1.0/0.3/0.05 (the rare strain at the advertised
+    `--rarest-strain-abundance` floor), homopolymer-biased indels, 2%
+    chimeric reads — scored for per-strain k-mer recovery and switch
+    errors. Mirrors tests/test_stress_quality.py."""
+    import contextlib
+
+    from hairsplitter_tpu.io.fasta import write_fasta
+    from hairsplitter_tpu.io.gfa import parse_gfa
+    from hairsplitter_tpu.pipeline.orchestrate import PipelineConfig, run_pipeline
+    from hairsplitter_tpu.utils import sim as hsim
+    from hairsplitter_tpu.utils.evaluate import evaluate_phasing
+
+    length, cov = (40_000, 280) if on_tpu else (20_000, 200)
+    rng = np.random.default_rng(3)
+    haps = hsim.make_haplotypes(length, 3, 0.01, rng)
+    reads = hsim.simulate_reads(
+        haps, coverage=cov, read_len=8000, rng=rng,
+        sub_rate=0.06, ins_rate=0.02, del_rate=0.02,
+        abundances=[1.0, 0.3, 0.05], homopolymer_bias=1.0, chimera_rate=0.02,
+        uniform_edges=True,
+    )
+    root = tempfile.mkdtemp(prefix="hs_bench_q_")
+    try:
+        asm = os.path.join(root, "asm.fa")
+        rd = os.path.join(root, "reads.fa")
+        write_fasta(asm, {"asm": haps[0]})
+        hsim.write_sim_fasta(rd, reads)
+        t0 = time.perf_counter()
+        with open(os.devnull, "w") as null, contextlib.redirect_stdout(null):
+            final = run_pipeline(asm, rd, os.path.join(root, "out"), PipelineConfig())
+        dt = time.perf_counter() - t0
+        ev = evaluate_phasing(parse_gfa(final).segments, haps)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "quality": {
+            "dataset": f"{length//1000}kb x 3 strains @ 1.0/0.3/0.05, {cov}x base, "
+            "hp-biased indels, 2% chimeras",
+            "strain_recovery": [round(r, 4) for r in ev.haplotype_recovery],
+            "rare_strain_recovery": round(ev.haplotype_recovery[2], 4),
+            "switch_errors": ev.total_switch_errors,
+            "wall_s": round(dt, 1),
+        }
+    }
+
+
 def main():
     import jax
 
@@ -244,6 +292,7 @@ def main():
         **raw_kernel_rate(spec, on_tpu),
         **mapping_kbps(on_tpu),
         **pipeline_kbps(on_tpu),
+        **quality_block(on_tpu),
     }
 
     print(

@@ -258,8 +258,17 @@ def _run_jobs_device_tb(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
         bucket = min(2048, cfg.batch)
     else:
         bucket = min(256, cfg.batch)
-    if cfg.use_myers and spec.band == 128 and bucket % 32 == 0:
+    if cfg.use_myers and spec.band == 128 and cfg.batch % 32 == 0:
         kernel = "myers"
+        # ONE compiled shape for the Myers path: the fused program has a
+        # pathological XLA compile at the 8192 bucket (measured 786 s via
+        # the remote-compile service vs ~6 s at 2048; the int32 kernel
+        # compiles 8192 in 8 s), and the 256-tier is a different Mosaic
+        # program (sublanes=8) costing its own ~80 s first compile. Padding
+        # small remaps to 2048 rows costs ~3 ms of device time; large runs
+        # cost extra round-trips that the concurrent pulls (pull_all)
+        # overlap — tens of ms per 35k jobs.
+        bucket = min(cfg.batch, 2048)
     elif cfg.use_pallas:
         kernel = "pallas"
     else:

@@ -68,6 +68,13 @@ def get_lib():
         ctypes.c_int32,
         ctypes.c_uint64,
     ]
+    lib.hs_merge_close_clusters.restype = None
+    lib.hs_merge_close_clusters.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.hs_minimizers.restype = ctypes.c_int64
     lib.hs_minimizers.argtypes = [
         ctypes.POINTER(ctypes.c_int8),
@@ -205,6 +212,23 @@ def chinese_whispers(adj: np.ndarray, init: np.ndarray, mask: np.ndarray, n_iter
         seed,
     )
     return labels
+
+
+def merge_close_clusters(adj: np.ndarray, labels: np.ndarray, mask: np.ndarray):
+    """Native twin of `pipeline.separate_reads.merge_close_clusters`
+    (bit-identical; reference `cluster_graph.cpp:402-501`); None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hs_merge_close_clusters"):
+        return None
+    n = mask.size
+    a = np.ascontiguousarray(adj, dtype=np.int8)
+    out = np.ascontiguousarray(labels, dtype=np.int64).copy()
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    lib.hs_merge_close_clusters(
+        _ptr(a, ctypes.c_int8), n, _ptr(out, ctypes.c_int64), _ptr(m, ctypes.c_uint8)
+    )
+    return out
 
 
 def minimizers(codes: np.ndarray, k: int, w: int):

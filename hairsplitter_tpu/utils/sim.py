@@ -62,21 +62,51 @@ def simulate_reads(
     del_rate: float = 0.0,
     len_sd: float = 0.0,
     circular: bool = False,
+    abundances: list[float] | None = None,
+    homopolymer_bias: float = 0.0,
+    chimera_rate: float = 0.0,
+    uniform_edges: bool = False,
 ) -> SimReads:
-    """Sample reads uniformly from the haplotypes with a simple error model."""
+    """Sample reads from the haplotypes with a simple error model.
+
+    abundances: per-haplotype relative abundance multipliers on `coverage`
+    (the metagenome/strain-mix case `--rarest-strain-abundance` targets,
+    reference README.md:14). homopolymer_bias: indel rates scale by
+    (1 + bias*(run-1)) inside homopolymer runs — the dominant ONT error
+    mode the uniform model misses. chimera_rate: fraction of reads that are
+    junctions of two unrelated fragments (library chimeras). uniform_edges:
+    sample starts beyond the sequence bounds and truncate, so coverage is
+    uniform to the very ends (default sampling ramps from 0 over the first/
+    last read length — real libraries fragment past the assayed region)."""
     names, seqs, haps, starts, strands = [], [], [], [], []
     ridx = 0
     for h, hap in enumerate(haplotypes):
-        n_reads = int(np.ceil(coverage * len(hap) / read_len))
+        cov_h = coverage * (abundances[h] if abundances else 1.0)
+        n_reads = int(np.ceil(cov_h * len(hap) / read_len))
+        if uniform_edges:
+            n_reads = int(np.ceil(n_reads * (len(hap) + read_len - 400) / len(hap)))
         for _ in range(n_reads):
             L = max(50, int(rng.normal(read_len, len_sd))) if len_sd else read_len
             if circular:
                 s = int(rng.integers(0, len(hap)))
                 frag = (hap + hap)[s : s + L]
+            elif uniform_edges:
+                s = int(rng.integers(-(L - 200), max(1, len(hap) - 200)))
+                frag = hap[max(0, s) : max(0, s) + L + min(0, s)]
+                s = max(0, s)
             else:
                 s = int(rng.integers(0, max(1, len(hap) - L + 1)))
                 frag = hap[s : s + L]
-            frag = _apply_errors(frag, sub_rate, ins_rate, del_rate, rng)
+            if chimera_rate and rng.random() < chimera_rate:
+                # splice in an unrelated fragment (same or other haplotype)
+                h2 = int(rng.integers(0, len(haplotypes)))
+                hap2 = haplotypes[h2]
+                L2 = max(50, L // 2)
+                s2 = int(rng.integers(0, max(1, len(hap2) - L2 + 1)))
+                frag = frag[: max(50, L - L2)] + hap2[s2 : s2 + L2]
+            frag = _apply_errors(
+                frag, sub_rate, ins_rate, del_rate, rng, homopolymer_bias
+            )
             strand = int(rng.integers(0, 2))
             if strand == 0:
                 frag = revcomp(frag)
@@ -89,19 +119,26 @@ def simulate_reads(
     return SimReads(names, seqs, haps, starts, strands)
 
 
-def _apply_errors(seq: str, sub: float, ins: float, dele: float, rng) -> str:
+def _apply_errors(seq: str, sub: float, ins: float, dele: float, rng, hp_bias: float = 0.0) -> str:
     if sub == 0 and ins == 0 and dele == 0:
         return seq
     out = []
+    run = 0
+    prev = ""
     for ch in seq:
+        run = run + 1 if ch == prev else 1
+        prev = ch
+        boost = 1.0 + hp_bias * min(run - 1, 8) if hp_bias else 1.0
+        d, i = min(0.45, dele * boost), min(0.45, ins * boost)
         r = rng.random()
-        if r < dele:
+        if r < d:
             continue
-        if r < dele + ins:
+        if r < d + i:
             out.append(ch)
-            out.append(_BASES[rng.integers(0, 4)])
+            # homopolymer over-call: repeat the run base rather than random
+            out.append(ch if (hp_bias and rng.random() < 0.75) else _BASES[rng.integers(0, 4)])
             continue
-        if r < dele + ins + sub:
+        if r < d + i + sub:
             out.append(_BASES[(_BASES.index(ch) + rng.integers(1, 4)) % 4] if ch in _BASES else ch)
         else:
             out.append(ch)

@@ -184,6 +184,67 @@ void hs_chinese_whispers(const int8_t* adj, int64_t n, int64_t* labels,
 }
 
 // ---------------------------------------------------------------------------
+// merge_close_clusters (separate_reads.py twin; reference
+// cluster_graph.cpp:402-501): per cluster, let its nodes defect to the
+// weighted-majority neighboring cluster over up to 10 sweeps; keep the
+// result only if the cluster dissolves entirely. Bit-identical to the numpy
+// version: ascending node order, first-argmax tie-breaks (smallest label),
+// sequential label updates within a sweep.
+void hs_merge_close_clusters(const int8_t* adj, int64_t n, int64_t* labels,
+                             const uint8_t* mask) {
+    std::vector<int64_t> clusters;
+    for (int64_t i = 0; i < n; i++)
+        if (labels[i] >= 0) clusters.push_back(labels[i]);
+    std::sort(clusters.begin(), clusters.end());
+    clusters.erase(std::unique(clusters.begin(), clusters.end()), clusters.end());
+    std::vector<int64_t> cur(labels, labels + n), trial(n);
+    std::vector<int64_t> counts(n + 2, 0);
+    for (int64_t ci = 0; ci < (int64_t)clusters.size(); ci++) {
+        int64_t cluster = clusters[ci];
+        std::copy(cur.begin(), cur.end(), trial.begin());
+        for (int sweep = 0; sweep < 10; sweep++) {
+            int64_t changes = 0;
+            for (int64_t i = 0; i < n; i++) {
+                if (!mask[i] || trial[i] != cluster) continue;
+                const int8_t* row = adj + i * n;
+                int64_t maxlab = -1;
+                for (int64_t r = 0; r < n; r++) {
+                    if (row[r] && trial[r] >= 0) {
+                        counts[trial[r]] += row[r];
+                        if (trial[r] > maxlab) maxlab = trial[r];
+                    }
+                }
+                if (maxlab < 0) continue;
+                // first argmax over label values 0..maxlab (numpy argmax)
+                int64_t best = 0, bv = counts[0];
+                for (int64_t l = 1; l <= maxlab; l++)
+                    if (counts[l] > bv) { bv = counts[l]; best = l; }
+                // second: first argmax with counts[best] treated as -1
+                int64_t second = -1, sv = -2;
+                for (int64_t l = 0; l <= maxlab; l++) {
+                    int64_t v = (l == best) ? -1 : counts[l];
+                    if (v > sv) { sv = v; second = l; }
+                }
+                if (bv > 0 && best != cluster) {
+                    trial[i] = best;
+                    changes++;
+                } else if (bv > 0 && second >= 0 && bv <= 2 * sv) {
+                    trial[i] = second;
+                    changes++;
+                }
+                for (int64_t l = 0; l <= maxlab; l++) counts[l] = 0;
+            }
+            if (changes == 0) break;
+        }
+        bool gone = true;
+        for (int64_t i = 0; i < n; i++)
+            if (trial[i] == cluster) { gone = false; break; }
+        if (gone) std::copy(trial.begin(), trial.end(), cur.begin());
+    }
+    std::copy(cur.begin(), cur.end(), labels);
+}
+
+// ---------------------------------------------------------------------------
 // Minimizer extraction (seeding.py:minimizers, bit-identical): rolling 2-bit
 // fwd/rc k-mers, splitmix64 canonical hash, leftmost window minimum via a
 // monotonic deque, adjacent-duplicate emission collapse (== np.unique of
