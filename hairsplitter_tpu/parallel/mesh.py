@@ -97,3 +97,63 @@ def phase_shard_step(mesh: Mesh, example=None):
         ),
     )
     return fn, args
+
+
+def make_map_example(n: int, spec, seed: int = 0, err: float = 0.05):
+    """A batch of realistic DP jobs: queries + mutated targets with varied
+    lengths (exercises the readout masks and traceback)."""
+    from ..ops.align import Q_SENTINEL, T_SENTINEL
+
+    rng = np.random.default_rng(seed)
+    B, T = spec.chunk, spec.t_width
+    q = np.full((n, B), Q_SENTINEL, np.int8)
+    t = np.full((n, T), T_SENTINEL, np.int8)
+    qlens = rng.integers(B // 2, B + 1, n).astype(np.int32)
+    tlens = np.zeros(n, np.int32)
+    for i in range(n):
+        base = rng.integers(0, 4, qlens[i]).astype(np.int8)
+        q[i, : qlens[i]] = base
+        mut = np.where(rng.random(qlens[i]) < err, rng.integers(0, 4, qlens[i]), base)
+        tl = min(T, qlens[i] + int(rng.integers(-4, 5)))
+        t[i, :tl] = np.resize(mut, tl)
+        tlens[i] = tl
+    modes = (np.arange(n) % 2).astype(np.int32)
+    return q, qlens, t, tlens, modes
+
+
+def map_shard_step(mesh: Mesh, n_per_device: int = 8, spec=None, kernel: str = "jnp"):
+    """The OTHER production device path under the mesh: the fused mapping
+    call (DP + readout + row-lockstep traceback, `ops/align_device.py:
+    align_traceback_rows` — the exact call `core/mapping.py` dispatches per
+    bucket) with the batch axis sharded across EVERY mesh device via
+    `shard_map`. Chunk alignments are independent, so mapping is pure data
+    parallelism (no collectives): on a pod slice each chip DPs its own rows
+    and ships its own token slice home. kernel='jnp' runs anywhere
+    (bit-identical to the Myers/int32 Pallas kernels, which are per-chip
+    details); pass 'myers' on real TPU meshes.
+
+    Returns (jitted fn, device-placed sharded args)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.align import BandSpec
+    from ..ops.align_device import align_traceback_rows
+
+    spec = spec or BandSpec(chunk=64, band=32)
+    n_dev = int(mesh.devices.size)
+    example = make_map_example(n_per_device * n_dev, spec)
+    batch_axes = P(("ctg", "pos"))  # flatten both mesh axes over the batch
+    sharding = NamedSharding(mesh, batch_axes)
+    args = tuple(jax.device_put(a, sharding) for a in example)
+    fn = jax.jit(
+        shard_map(
+            lambda q, ql, t, tl, m: align_traceback_rows(q, ql, t, tl, m, spec, kernel),
+            mesh=mesh,
+            in_specs=(batch_axes,) * 5,
+            out_specs=batch_axes,
+            # the DP scan mixes device-varying carries with replicated
+            # constants (iotas, INF rows); there are no collectives to get
+            # wrong in a purely-data-parallel body
+            check_rep=False,
+        )
+    )
+    return fn, args

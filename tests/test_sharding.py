@@ -103,3 +103,24 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert len(out) == 3
     ge.dryrun_multichip(8)
+
+
+def test_map_shard_step_bit_identical():
+    """The fused mapping call (DP + readout + traceback) sharded over every
+    mesh device equals the single-device call bit for bit — mapping is pure
+    data parallelism over chunk rows (no collectives)."""
+    import numpy as np
+
+    from hairsplitter_tpu.ops.align import BandSpec
+    from hairsplitter_tpu.ops.align_device import align_traceback_rows
+    from hairsplitter_tpu.parallel.mesh import make_mesh, map_shard_step
+
+    mesh = make_mesh(8)
+    fn, args = map_shard_step(mesh)
+    out = np.asarray(fn(*args))
+    ref = np.asarray(
+        align_traceback_rows(
+            *(np.asarray(a) for a in args), BandSpec(chunk=64, band=32), "jnp"
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
