@@ -88,8 +88,48 @@ def parse_args(argv=None):
         help="capture a JAX profiler trace of the whole run into DIR "
         "(view with TensorBoard / xprof)",
     )
+    p.add_argument(
+        "--minimap2-params",
+        default="",
+        help="minimap2-style seeding overrides applied to the BUILT-IN "
+        "mapper (no subprocesses here): '-k INT' and '-w INT' are honored, "
+        "other tokens are ignored with a notice (reference hairsplitter.py:46)",
+    )
+    # the reference's external-tool path flags (`hairsplitter.py:47-50`):
+    # accepted so existing invocations don't break, ignored because every
+    # tool is in-process here
+    for legacy in ("--path_to_minigraph", "--path_to_medaka", "--path_to_python", "--path_to_raven"):
+        p.add_argument(legacy, default="", help=argparse.SUPPRESS)
     p.add_argument("-v", "--version", action="version", version=__version__)
     return p.parse_args(argv)
+
+
+def apply_minimap2_params(cfg, params: str):
+    """Map minimap2-style '-k INT -w INT' tokens onto MapConfig (both
+    '-k15' and '-k 15' forms); returns (cfg, ignored_tokens)."""
+    import re
+    from dataclasses import replace
+
+    ignored = []
+    kw = {}
+    toks = params.split()
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        m = re.fullmatch(r"-([kw])(\d+)?", t)
+        if m:
+            if m.group(2) is not None:
+                kw[m.group(1)] = int(m.group(2))
+            elif i + 1 < len(toks) and toks[i + 1].isdigit():
+                kw[m.group(1)] = int(toks[i + 1])
+                i += 1
+            i += 1
+            continue
+        ignored.append(t)
+        i += 1
+    if kw:
+        cfg = replace(cfg, map=replace(cfg.map, **kw))
+    return cfg, ignored
 
 
 def main(argv=None):
@@ -121,6 +161,14 @@ def main(argv=None):
         debug=args.debug,
         threads=args.threads,
     )
+    if args.minimap2_params:
+        cfg, ignored = apply_minimap2_params(cfg, args.minimap2_params)
+        if ignored:
+            print(
+                f"note: ignoring minimap2 params {' '.join(ignored)} "
+                "(mapping is in-process; only -k/-w translate)",
+                file=sys.stderr,
+            )
     if args.profile:
         # SURVEY §5 tracing: device-op profiling via the JAX profiler (the
         # reference has only ad-hoc timers; per-stage throughput counters

@@ -125,3 +125,20 @@ def test_single_read_group_routes_to_triage(monkeypatch):
     # BOTH groups went through the triage check, including the 1-read group
     assert sorted(calls) == [1, 2]
     assert len(zr.graph.segments) == 2
+
+
+def test_minimap2_params_translate_to_mapper():
+    """--minimap2-params '-k19 -w19' tunes the built-in mapper; external
+    tool path flags are accepted no-ops (reference hairsplitter.py:46-50)."""
+    from hairsplitter_tpu.cli import apply_minimap2_params, parse_args
+    from hairsplitter_tpu.pipeline.orchestrate import PipelineConfig
+
+    args = parse_args([
+        "-i", "a.gfa", "-f", "r.fa", "-o", "out",
+        "--minimap2-params", "-k19 -w 19 --secondary=no",
+        "--path_to_medaka", "/usr/bin/medaka",
+    ])
+    assert args.minimap2_params == "-k19 -w 19 --secondary=no"
+    cfg, ignored = apply_minimap2_params(PipelineConfig(), args.minimap2_params)
+    assert cfg.map.k == 19 and cfg.map.w == 19
+    assert ignored == ["--secondary=no"]
