@@ -181,3 +181,21 @@ def test_two_process_noisy_with_ploidy_cap_matches_single(noisy_dataset, tmp_pat
     s2, l2 = _norm(str(out2 / "hairsplitter_final_assembly.gfa"))
     assert s1 == s2
     assert l1 == l2
+
+
+def test_two_process_resume(dataset, tmp_path):
+    """--resume under jax.distributed: the second 2-process run loads every
+    stage artifact written by process 0 (fingerprint match) and reproduces
+    the same final assembly — resume is the single-process code path, so it
+    just works distributed (round-3's fork had no resume at all)."""
+    asm, reads = dataset
+    out2 = tmp_path / "out2p_resume"
+    _run_two_process(asm, reads, out2)
+    gfa_first = _norm(str(out2 / "hairsplitter_final_assembly.gfa"))
+    sam_mtime = (out2 / "tmp" / "reads_on_asm.sam").stat().st_mtime
+    _run_two_process(asm, reads, out2, extra_args=("--resume",))
+    # stage-2 artifact untouched: mapping was skipped, not recomputed
+    assert (out2 / "tmp" / "reads_on_asm.sam").stat().st_mtime == sam_mtime
+    assert _norm(str(out2 / "hairsplitter_final_assembly.gfa")) == gfa_first
+    log0 = (out2 / "hairsplitter.p0.log").read_text()
+    assert "resume" in log0
