@@ -281,6 +281,19 @@ def run_pipeline(
             write_gfa(assembly, corrected_path)
             if comm:
                 comm.bcast_obj(_graph_to_wire(assembly))
+        # N50 sanity check on the corrected assembly (`hairsplitter.py:550-568`)
+        lens = sorted((len(s) for s in assembly.segments.values()), reverse=True)
+        total = sum(lens)
+        acc = 0
+        for n50 in lens:
+            acc += n50
+            if acc * 2 > total:
+                break
+        if lens and n50 < 10_000:
+            log.log(
+                f"  WARNING: the corrected assembly has a low N50 ({n50}); "
+                "consider re-running without --correct-assembly"
+            )
 
     sam_path = os.path.join(tmp_dir, "reads_on_asm.sam")
     # read data parallelism: each process maps its interleaved slice of the
