@@ -29,74 +29,11 @@ import numpy as np
 
 
 def _repolish_copies(g, copy_of, read_paths, read_seqs_by_row):
-    """Reference `repolish.py:102-467`: duplicated copies are re-polished
-    with the reads whose (rewritten) paths traverse them. When a copy
-    diverges *structurally* from its reads, the reference falls back to
-    cutting the reads between flanking anchor contigs and racon-polishing
-    the best-anchored read (`repolish.py:295-453`); here the equivalent is
-    the triage tournament (`ops/triage.select_backbone`): best-anchored-read
-    splice across the divergent region, CIGAR patch, and reassembly, each
-    polished and scored by how well the copy's reads fit."""
-    import numpy as np
+    """See `pipeline.unzip.repolish_copies` (shared with the in-process
+    stage 6, which always runs it like the reference)."""
+    from .pipeline.unzip import repolish_copies
 
-    from .constants import encode_seq
-    from .core.mapping import map_reads
-    from .ops.consensus import polish_iterative
-    from .ops.triage import BACKBONE_GOOD, check_backbone, select_backbone
-    from .pipeline.pileup import alignment_cells_full, orient_read
-
-    split_names = set(copy_of) | set(copy_of.values())
-    by_contig: dict[str, list[int]] = {}
-    for ridx, path in read_paths.items():
-        for name, _ in path:
-            if name in split_names:
-                by_contig.setdefault(name, []).append(ridx)
-    n = 0
-    for name, rows in by_contig.items():
-        reads = [read_seqs_by_row[r] for r in set(rows) if r in read_seqs_by_row]
-        if len(reads) < 2:
-            continue
-        backbone = g.segments[name]
-        alns = map_reads({name: backbone}, reads)
-        code = BACKBONE_GOOD
-        if len(alns) >= 2 and len(backbone) >= 200:
-            code = check_backbone(
-                alns, [len(reads[a.read_idx]) for a in alns], 0, len(backbone) - 1
-            )
-        if code != BACKBONE_GOOD:
-            cells, inss = [], []
-            for a in alns:
-                oriented = orient_read(encode_seq(reads[a.read_idx]), a.strand)
-                tpos, tri, it, ic = alignment_cells_full(a, oriented)
-                cells.append((tpos, (np.asarray(tri, np.int16) // 25).astype(np.int8)))
-                inss.append((it, ic))
-            baseline = polish_iterative(backbone, reads, rounds=2, min_len=50)
-            polished = select_backbone(
-                code,
-                encode_seq(backbone),
-                0,
-                len(backbone) - 1,
-                cells,
-                inss,
-                alns,
-                [reads[a.read_idx] for a in alns],
-                [a.strand for a in alns],
-                baseline,
-            )
-        else:
-            polished = polish_iterative(backbone, reads, rounds=2)
-            # the reference racon-polishes here (repolish.py:246,282); on
-            # noisy reads the POA pass is what reaches racon's accuracy
-            if alns:
-                err = float(np.mean([a.nm / max(1, a.q_end - a.q_start) for a in alns]))
-                if err > 0.10:
-                    from .ops.poa import polish_poa
-
-                    polished = polish_poa(polished, reads, rounds=1)
-        if polished and polished != backbone:
-            g.segments[name] = polished
-            n += 1
-    return n
+    return repolish_copies(g, copy_of, read_paths, read_seqs_by_row)
 
 
 def cmd_unzip(args) -> int:

@@ -580,7 +580,11 @@ def run_pipeline(
     # copies are made but unbranched chains stay separate contigs
     log.log("STAGE 6 untangling with read paths" + (" (no chain merge: -s)" if cfg.dont_simplify else ""))
     t0 = time.time()
-    ur = unzip(zr.graph, zr.read_paths, merge=not cfg.dont_simplify)
+    # read_seqs enables the repolish of duplicated copies — the reference
+    # always passes -r to GraphUnzip (`hairsplitter.py:815`), so copies are
+    # rebuilt from their own path's reads (restores haplotype content in
+    # windows where phasing had collapsed groups)
+    ur = unzip(zr.graph, zr.read_paths, merge=not cfg.dont_simplify, read_seqs=read_seqs)
     final_graph = ur.graph
     supercontigs = ur.supercontigs
     stats.record("untangle", time.time() - t0, contigs=len(final_graph.segments))

@@ -390,19 +390,106 @@ def merge_linear_chains(g: AssemblyGraph) -> dict[str, list[tuple[str, int]]]:
     return composition
 
 
+def repolish_copies(g, copy_of, read_paths, read_seqs_by_row) -> int:
+    """Reference `repolish.py:102-467`: duplicated copies are re-polished
+    with the reads whose (rewritten) paths traverse them. When a copy
+    diverges *structurally* from its reads, the reference falls back to
+    cutting the reads between flanking anchor contigs and racon-polishing
+    the best-anchored read (`repolish.py:295-453`); here the equivalent is
+    the triage tournament (`ops/triage.select_backbone`): best-anchored-read
+    splice across the divergent region, CIGAR patch, and reassembly, each
+    polished and scored by how well the copy's reads fit.
+
+    This step is what makes contig duplication RECOVER haplotype content:
+    a window where phasing collapsed two strains into one group ships the
+    major strain's consensus, the untangler duplicates that contig per
+    supported path, and the repolish rebuilds each copy from its own
+    path's reads — restoring the minor strain's variants. The reference
+    always runs it in the HairSplitter pipeline (`-r` is always passed,
+    `hairsplitter.py:815` -> `graphunzip.py:448-452`)."""
+    import numpy as np
+
+    from ..constants import encode_seq
+    from ..core.mapping import map_reads
+    from ..ops.consensus import polish_iterative
+    from ..ops.triage import BACKBONE_GOOD, check_backbone, select_backbone
+    from ..pipeline.pileup import alignment_cells_full, orient_read
+
+    split_names = set(copy_of) | set(copy_of.values())
+    by_contig: dict[str, list[int]] = {}
+    for ridx, path in read_paths.items():
+        for name, _ in path:
+            if name in split_names:
+                by_contig.setdefault(name, []).append(ridx)
+    n = 0
+    for name, rows in by_contig.items():
+        if name not in g.segments:
+            continue  # canceled-path slots can reference deleted roots
+        reads = [read_seqs_by_row[r] for r in set(rows) if r in read_seqs_by_row]
+        if len(reads) < 2:
+            continue
+        backbone = g.segments[name]
+        alns = map_reads({name: backbone}, reads)
+        code = BACKBONE_GOOD
+        if len(alns) >= 2 and len(backbone) >= 200:
+            code = check_backbone(
+                alns, [len(reads[a.read_idx]) for a in alns], 0, len(backbone) - 1
+            )
+        if code != BACKBONE_GOOD:
+            cells, inss = [], []
+            for a in alns:
+                oriented = orient_read(encode_seq(reads[a.read_idx]), a.strand)
+                tpos, tri, it, ic = alignment_cells_full(a, oriented)
+                cells.append((tpos, (np.asarray(tri, np.int16) // 25).astype(np.int8)))
+                inss.append((it, ic))
+            baseline = polish_iterative(backbone, reads, rounds=2, min_len=50)
+            polished = select_backbone(
+                code,
+                encode_seq(backbone),
+                0,
+                len(backbone) - 1,
+                cells,
+                inss,
+                alns,
+                [reads[a.read_idx] for a in alns],
+                [a.strand for a in alns],
+                baseline,
+            )
+        else:
+            polished = polish_iterative(backbone, reads, rounds=2)
+            # the reference racon-polishes here (repolish.py:246,282); on
+            # noisy reads the POA pass is what reaches racon's accuracy
+            if alns:
+                err = float(np.mean([a.nm / max(1, a.q_end - a.q_start) for a in alns]))
+                if err > 0.10:
+                    from ..ops.poa import polish_poa
+
+                    polished = polish_poa(polished, reads, rounds=1)
+        if polished and polished != backbone:
+            g.segments[name] = polished
+            n += 1
+    return n
+
+
 def unzip(
     g: AssemblyGraph,
     read_paths: dict[int, list[tuple[str, int]]],
     careful: bool = True,
     merge: bool = True,
+    read_seqs=None,
 ) -> UnzipResult:
     """merge=False is the reference's `--dont_merge` (HairSplitter's `-s`
     passes it, `hairsplitter.py:806-816`): contigs are still duplicated and
-    tips shaved, but unbranched chains are NOT merged into supercontigs."""
+    tips shaved, but unbranched chains are NOT merged into supercontigs.
+    With `read_seqs` (read_idx -> sequence), duplicated copies are
+    re-polished from their own path's reads (`repolish_copies` — the
+    reference always does this in the HairSplitter pipeline)."""
     support = count_link_support(read_paths)
     if careful:
         remove_unsupported_links(g, support)
-    duplicate_contigs(g, read_paths)
+    copy_of = duplicate_contigs(g, read_paths)
+    if read_seqs is not None and copy_of:
+        repolish_copies(g, copy_of, read_paths, read_seqs)
     remove_tips(g)
     g.dedupe_links()
     if merge:
