@@ -143,3 +143,59 @@ def test_no_duplication_when_links_unconfirmed():
     copy_of = duplicate_contigs(g, paths)
     assert copy_of == {}
     assert "X" in g.segments
+
+
+def test_repolish_copies_restores_path_content(rng):
+    """A collapsed contig duplicated along two read paths is re-polished
+    from each path's own reads (reference repolish.py:102-467, always run
+    by the HairSplitter pipeline via -r): the copy on the variant-carrying
+    path recovers those variants even though the original consensus was the
+    other haplotype's."""
+    import numpy as np
+
+    from hairsplitter_tpu.constants import revcomp
+    from hairsplitter_tpu.io.gfa import AssemblyGraph, Link
+    from hairsplitter_tpu.pipeline.unzip import unzip
+    from hairsplitter_tpu.utils.sim import mutate, random_genome
+
+    A1, A2 = random_genome(1200, rng), random_genome(1200, rng)
+    C1, C2 = random_genome(1200, rng), random_genome(1200, rng)
+    X = random_genome(2000, rng)
+    X2, _ = mutate(X, 0.01, rng)  # the haplotype the consensus lost
+
+    g = AssemblyGraph()
+    for n, s in (("A1", A1), ("A2", A2), ("X", X), ("C1", C1), ("C2", C2)):
+        g.add_segment(n, s, depth=12.0)
+    for a in ("A1", "A2"):
+        g.add_link(Link(a, "+", "X", "+"))
+    for c in ("C1", "C2"):
+        g.add_link(Link("X", "+", c, "+"))
+
+    read_paths = {}
+    read_seqs = {}
+    ridx = 0
+    for k in range(6):  # hap1 reads: A1-X-C1 exact
+        read_paths[ridx] = [("A1", 1), ("X", 1), ("C1", 1)]
+        read_seqs[ridx] = A1[600:] + X + C1[:600]
+        ridx += 1
+    for k in range(6):  # hap2 reads: A2-X2-C2 (X2 carries the variants)
+        read_paths[ridx] = [("A2", 1), ("X", 1), ("C2", 1)]
+        read_seqs[ridx] = A2[600:] + X2 + C2[:600]
+        ridx += 1
+
+    res = unzip(g, read_paths, merge=False, read_seqs=read_seqs)
+    copies = [n for n in res.graph.segments if n.startswith("X-copy")]
+    assert len(copies) == 2
+
+    def kmers(s, k=31):
+        return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+    kX, kX2 = kmers(X), kmers(X2)
+    # one copy per haplotype, each >=95% its own haplotype's k-mers
+    best_for = {0: 0.0, 1: 0.0}
+    for c in copies:
+        kc = kmers(res.graph.segments[c])
+        best_for[0] = max(best_for[0], len(kc & kX) / len(kX))
+        best_for[1] = max(best_for[1], len(kc & kX2) / len(kX2))
+    assert best_for[0] >= 0.95, best_for
+    assert best_for[1] >= 0.95, best_for  # the variants came back
