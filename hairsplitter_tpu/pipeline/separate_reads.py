@@ -47,9 +47,17 @@ class SeparateConfig:
     window: int = 2000
     min_cluster_size: int = 5
     amplicon: bool = False
+    # cross-window confirmation before the small-cluster kill (beyond the
+    # reference's flat <5 kill, `separate_reads.cpp:936`): a 3-4 read
+    # cluster whose reads continued one confirmed group of the previous
+    # window is a real haplotype thinned by spanning-coverage noise, not
+    # chance — killing it dissolves the strain into its neighbors for that
+    # window and breaks the contig chain there
+    continuity_rescue: bool = True
     # downsampling cap: the reference keeps max 50/rarest_strain_abundance
-    # reads per contig (`separate_reads.cpp:1420-1426`)
-    rarest_strain_abundance: float = 0.05
+    # reads per contig (`separate_reads.cpp:1420-1426`); default matches
+    # the CLI's 0.01 (`hairsplitter.py:45`)
+    rarest_strain_abundance: float = 0.01
     seed_snp_spacing: int = 10
     use_device_matmul: bool = True
     # run the whole per-window device step (knee-rule read graph + all
@@ -572,6 +580,7 @@ def separate_reads_for_contig(
                 )
 
     # phase C (host): per-window cluster post-processing, original order
+    prev_final: np.ndarray | None = None  # previous window's final labels
     for wi, (start, end, upper, in_win) in enumerate(descs):
         if win_data[wi] is None:
             # no SNP: everyone covering the middle point joins group 0
@@ -594,7 +603,27 @@ def separate_reads_for_contig(
         merged = merge_clusterings(local, adj, mask)
         # kill small clusters (-1 = unclustered, rescued downstream)
         vals, counts = np.unique(merged[merged >= 0], return_counts=True)
-        small = set(vals[counts < cfg.min_cluster_size].tolist())
+        sizes = dict(zip(vals.tolist(), counts.tolist()))
+        small = set(v for v, c in sizes.items() if c < cfg.min_cluster_size)
+        if cfg.continuity_rescue and prev_final is not None and small:
+            # see SeparateConfig.continuity_rescue: keep a >=3-read cluster
+            # that continues one confirmed (>= min_cluster_size) group of
+            # the previous window
+            pf = prev_final
+            prev_sizes = (
+                np.bincount(pf[pf >= 0]) if (pf >= 0).any() else np.zeros(1, np.int64)
+            )
+            for g in sorted(small):
+                if sizes[g] < 3:
+                    continue
+                pl = pf[merged == g]
+                pl = pl[pl >= 0]
+                if pl.size == 0:
+                    continue
+                cnt = np.bincount(pl)
+                p = int(cnt.argmax())
+                if cnt[p] >= 3 and prev_sizes[p] >= cfg.min_cluster_size:
+                    small.discard(g)
         labels = merged.copy()
         for g in small:
             labels[merged == g] = -1
@@ -608,6 +637,7 @@ def separate_reads_for_contig(
         if max_haplotypes > 0:
             labels = merge_to_ploidy(labels, adj, max_haplotypes)
         out.windows.append(WindowGroups(start, end, labels))
+        prev_final = labels
     return out
 
 
