@@ -579,10 +579,25 @@ def separate_reads_for_contig(
                     idxs, win_data, sim, diff, cv.error_rate, n_rows, nb, kb
                 )
 
-    # phase C (host): per-window cluster post-processing, original order
-    prev_final: np.ndarray | None = None  # previous window's final labels
+    # phase C1 (host): per-window read graph + aggregated clustering (kept
+    # for all windows so the kill pass below can look BOTH ways)
+    win_graph: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(descs)
     for wi, (start, end, upper, in_win) in enumerate(descs):
         if win_data[wi] is None:
+            continue
+        mask, seeds = win_data[wi]
+        if wi in batched:
+            adj, labs = batched[wi]
+            local = [labs[k, :n_rows].astype(np.int64) for k in range(len(seeds))]
+        else:
+            adj = build_read_graph(mask, sim, diff, cv.error_rate)
+            local = [run_cw(adj, init, mask) for init in seeds]
+        win_graph[wi] = (adj, merge_clusterings(local, adj, mask))
+
+    # phase C2 (host): kill/rescue + final merges, original order
+    prev_final: np.ndarray | None = None  # previous window's final labels
+    for wi, (start, end, upper, in_win) in enumerate(descs):
+        if win_graph[wi] is None:
             # no SNP: everyone covering the middle point joins group 0
             labels = np.full(n_rows, -2, dtype=np.int64)
             mid = (start + end) // 2
@@ -593,37 +608,41 @@ def separate_reads_for_contig(
             out.windows.append(WindowGroups(start, end, labels))
             continue
         mask, seeds = win_data[wi]
-        if wi in batched:
-            adj, labs = batched[wi]
-            local = [labs[k, :n_rows].astype(np.int64) for k in range(len(seeds))]
-        else:
-            adj = build_read_graph(mask, sim, diff, cv.error_rate)
-            local = [run_cw(adj, init, mask) for init in seeds]
+        adj, merged = win_graph[wi]
 
-        merged = merge_clusterings(local, adj, mask)
         # kill small clusters (-1 = unclustered, rescued downstream)
         vals, counts = np.unique(merged[merged >= 0], return_counts=True)
         sizes = dict(zip(vals.tolist(), counts.tolist()))
         small = set(v for v, c in sizes.items() if c < cfg.min_cluster_size)
-        if cfg.continuity_rescue and prev_final is not None and small:
+        if cfg.continuity_rescue and small:
             # see SeparateConfig.continuity_rescue: keep a >=3-read cluster
             # that continues one confirmed (>= min_cluster_size) group of
-            # the previous window
-            pf = prev_final
-            prev_sizes = (
-                np.bincount(pf[pf >= 0]) if (pf >= 0).any() else np.zeros(1, np.int64)
+            # the PREVIOUS window's final labels or the NEXT window's
+            # aggregated clustering
+            neighbors: list[np.ndarray] = []
+            if prev_final is not None:
+                neighbors.append(prev_final)
+            nxt = next(
+                (win_graph[wj][1] for wj in range(wi + 1, len(descs)) if win_graph[wj]),
+                None,
             )
+            if nxt is not None:
+                neighbors.append(nxt)
             for g in sorted(small):
                 if sizes[g] < 3:
                     continue
-                pl = pf[merged == g]
-                pl = pl[pl >= 0]
-                if pl.size == 0:
-                    continue
-                cnt = np.bincount(pl)
-                p = int(cnt.argmax())
-                if cnt[p] >= 3 and prev_sizes[p] >= cfg.min_cluster_size:
-                    small.discard(g)
+                member = merged == g
+                for nb_labels in neighbors:
+                    pl = nb_labels[member]
+                    pl = pl[pl >= 0]
+                    if pl.size == 0:
+                        continue
+                    cnt = np.bincount(pl)
+                    p = int(cnt.argmax())
+                    nb_sizes = np.bincount(nb_labels[nb_labels >= 0])
+                    if cnt[p] >= 3 and nb_sizes[p] >= cfg.min_cluster_size:
+                        small.discard(g)
+                        break
         labels = merged.copy()
         for g in small:
             labels[merged == g] = -1
