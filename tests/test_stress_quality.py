@@ -90,3 +90,33 @@ def test_sim_stress_features(rng):
     )
     cov0 = sum(1 for s, seq in zip(ue.starts, ue.seqs) if s == 0)
     assert cov0 >= 10, cov0  # ~30 reads truncated to start at 0
+
+
+@pytest.mark.slow
+def test_continuity_rescue_improves_contiguity(tmp_path):
+    """The bidirectional continuity rescue (SeparateConfig.continuity_rescue)
+    must not fragment MORE than the reference's flat <5 kill, and on
+    marginal coverage (10x/strain, 3 strains) it should fragment less."""
+    from hairsplitter_tpu.pipeline.separate_reads import SeparateConfig
+
+    rng = np.random.default_rng(13)
+    haps = S.make_haplotypes(30_000, 3, 0.01, rng)
+    reads = S.simulate_reads(
+        haps, coverage=10, read_len=8000, rng=rng,
+        sub_rate=0.06, ins_rate=0.02, del_rate=0.02, uniform_edges=True,
+    )
+    asm = str(tmp_path / "asm.fa")
+    rd = str(tmp_path / "reads.fa")
+    write_fasta(asm, {"asm": haps[0]})
+    S.write_sim_fasta(rd, reads)
+    n_contigs = {}
+    for tag, rescue in (("on", True), ("off", False)):
+        cfg = PipelineConfig()
+        cfg.separate = SeparateConfig(continuity_rescue=rescue)
+        with open(os.devnull, "w") as null, contextlib.redirect_stdout(null):
+            final = run_pipeline(asm, rd, str(tmp_path / f"out_{tag}"), cfg)
+        g = parse_gfa(final)
+        ev = evaluate_phasing(g.segments, haps)
+        assert ev.total_switch_errors == 0, (tag, ev.total_switch_errors)
+        n_contigs[tag] = len(g.segments)
+    assert n_contigs["on"] <= n_contigs["off"], n_contigs
