@@ -62,6 +62,10 @@ class MapConfig:
     # of CIGAR ops per chunk instead of 8 KB of backpointers through the
     # host link, and lets all buckets dispatch asynchronously
     device_traceback: bool = True
+    # CPU backend: run the fused DP+readout+traceback in native C++
+    # (hs_banded_align_tb, bit-identical to the jnp path) — XLA-CPU runs the
+    # scan at ~50 Mcells/s vs ~0.5-1 Gcells/s threaded scalar C++
+    use_native_cpu: bool = True
     # reads with no accepted alignment get a second pass with shorter, denser
     # minimizers (a 15-mer survives 25%+ read error with P<0.01, so very
     # noisy reads starve of anchors; minimap2's presets hide the same knob)
@@ -185,6 +189,10 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
     on_accel = jax.devices()[0].platform not in ("cpu",)
     if on_accel and cfg.device_traceback:
         return _run_jobs_device_tb(jobs, cfg)
+    if not on_accel and cfg.use_native_cpu:
+        native_res = _run_jobs_native(jobs, cfg)
+        if native_res is not None:
+            return native_res
     if on_accel:
         align_fn = _device_align_fn(spec, cfg.use_pallas)
     else:
@@ -234,6 +242,42 @@ def run_jobs(jobs: list[_Job], cfg: MapConfig) -> list[dict]:
             if job.reversed_:
                 ops = ops[::-1]
             results[lo + i] = {"ops": ops, "cost": int(cost[i]), "clip": int(clip[i])}
+    return results
+
+
+def _run_jobs_native(jobs: list[_Job], cfg: MapConfig) -> list[dict] | None:
+    """CPU-backend job runner: the whole fused DP + readout + traceback in
+    threaded native C++ (`hs_banded_align_tb`), bit-identical to the jnp
+    scan + host readout/traceback pair. No shape bucketing needed — the
+    scalar loop is ragged-friendly; one call covers all jobs."""
+    from .. import native as _native
+
+    if _native.get_lib() is None:
+        return None
+    spec = cfg.spec
+    B, T = spec.chunk, spec.t_width
+    n = len(jobs)
+    qb = np.full((n, B), Q_SENTINEL, dtype=np.int8)
+    tb = np.full((n, T), T_SENTINEL, dtype=np.int8)
+    qlens = np.zeros(n, dtype=np.int32)
+    tlens = np.zeros(n, dtype=np.int32)
+    modes = np.zeros(n, dtype=np.int32)
+    for i, job in enumerate(jobs):
+        qb[i, : len(job.q)] = job.q
+        tb[i, : len(job.t)] = job.t
+        qlens[i] = len(job.q)
+        tlens[i] = len(job.t)
+        modes[i] = job.mode
+    got = _native.banded_align_tb(qb, qlens, tb, tlens, modes, spec.band)
+    if got is None:
+        return None
+    ops_list, cost, clip = got
+    results: list[dict] = [None] * n
+    for i, job in enumerate(jobs):
+        ops = ops_list[i]
+        if job.reversed_:
+            ops = ops[::-1]
+        results[i] = {"ops": ops, "cost": int(cost[i]), "clip": int(clip[i])}
     return results
 
 

@@ -68,6 +68,24 @@ def get_lib():
         ctypes.c_int32,
         ctypes.c_uint64,
     ]
+    lib.hs_banded_align_tb.restype = None
+    lib.hs_banded_align_tb.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
     lib.hs_merge_close_clusters.restype = None
     lib.hs_merge_close_clusters.argtypes = [
         ctypes.POINTER(ctypes.c_int8),
@@ -212,6 +230,48 @@ def chinese_whispers(adj: np.ndarray, init: np.ndarray, mask: np.ndarray, n_iter
         seed,
     )
     return labels
+
+
+def banded_align_tb(qb, qlens, tb, tlens, modes, band: int, n_threads: int = 0):
+    """Fused banded DP + readout + traceback for the CPU backend —
+    bit-identical to `banded_align_batch` + `readout` + `traceback_batch`
+    (ops/align.py). Returns (ops_list, cost[int64], clip[int64]) or None if
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hs_banded_align_tb"):
+        return None
+    qb = np.ascontiguousarray(qb, dtype=np.int8)
+    tb = np.ascontiguousarray(tb, dtype=np.int8)
+    ql = np.ascontiguousarray(qlens, dtype=np.int32)
+    tl = np.ascontiguousarray(tlens, dtype=np.int32)
+    md = np.ascontiguousarray(modes, dtype=np.int32)
+    n, B = qb.shape
+    T = tb.shape[1]
+    stride = B + T + 1
+    ops = np.empty((n, stride), dtype=np.int8)
+    n_ops = np.zeros(n, dtype=np.int32)
+    cost = np.zeros(n, dtype=np.int64)
+    clip = np.zeros(n, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.hs_banded_align_tb(
+        _ptr(qb, ctypes.c_int8),
+        _ptr(ql, ctypes.c_int32),
+        _ptr(tb, ctypes.c_int8),
+        _ptr(tl, ctypes.c_int32),
+        _ptr(md, ctypes.c_int32),
+        n,
+        B,
+        T,
+        band,
+        _ptr(ops, ctypes.c_int8),
+        stride,
+        _ptr(n_ops, ctypes.c_int32),
+        _ptr(cost, ctypes.c_int64),
+        _ptr(clip, ctypes.c_int64),
+        n_threads,
+    )
+    return [ops[i, : n_ops[i]] for i in range(n)], cost, clip
 
 
 def merge_close_clusters(adj: np.ndarray, labels: np.ndarray, mask: np.ndarray):

@@ -247,6 +247,168 @@ void hs_merge_close_clusters(const int8_t* adj, int64_t n, int64_t* labels,
 }
 
 // ---------------------------------------------------------------------------
+// Fused banded DP + readout + traceback for the CPU backend — the scalar
+// twin of ops/align.py (banded_align_batch + readout + traceback_batch),
+// bit-identical by construction (same formulas, same first-argmin
+// tie-breaks, same masked INF semantics). XLA-CPU runs the jnp scan at
+// ~50 Mcells/s; this loop runs at ~0.5-1 Gcells/s and threads across jobs,
+// so CPU-backend mapping (tests, non-TPU deployments) stops being DP-bound.
+static const int32_t HS_ALIGN_INF = 1 << 20;
+static const int8_t HS_T_SENTINEL = 6;
+enum { HS_TB_EQ = 0, HS_TB_X = 1, HS_TB_I = 2, HS_TB_D = 3 };
+
+static void hs_align_one(const int8_t* q, int32_t qlen, const int8_t* t,
+                         int32_t tlen, int32_t mode, int32_t B, int32_t T,
+                         int32_t W, uint8_t* bp /* [B*W] scratch */,
+                         int32_t* prev, int32_t* row, int32_t* row_at_q,
+                         int8_t* ops_out, int32_t* n_ops_out,
+                         int64_t* cost_out, int64_t* clip_out) {
+    const int32_t dl = W / 2;
+    auto tp = [&](int32_t x) -> int8_t {  // t padded with dl left sentinels
+        int32_t j = x - dl;
+        return (j < 0 || j >= T) ? HS_T_SENTINEL : t[j];
+    };
+    // row 0: leading deletions
+    for (int32_t b = 0; b < W; b++) {
+        int32_t j0 = b - dl;
+        prev[b] = (j0 >= 0 && j0 <= tlen) ? j0 : HS_ALIGN_INF;
+    }
+    bool have_rowq = (qlen == 0);
+    if (have_rowq) std::copy(prev, prev + W, row_at_q);
+    else std::fill(row_at_q, row_at_q + W, HS_ALIGN_INF);
+    int32_t colmin_val = HS_ALIGN_INF, colmin_i = 0;
+
+    for (int32_t i = 1; i <= B; i++) {
+        const int8_t qc = q[i - 1];
+        // diag/up + exact prefix-min in x-space (x = D - b)
+        int32_t running = HS_ALIGN_INF;  // min over b' <= b of tmp[b'] - b'
+        const bool row_valid_i = (i <= qlen);
+        uint8_t* bprow = bp + (size_t)(i - 1) * W;
+        for (int32_t b = 0; b < W; b++) {
+            int32_t sub = (qc == tp(i - 1 + b)) ? 0 : 1;
+            int32_t diag = prev[b] + sub;
+            int32_t up = ((b < W - 1) ? prev[b + 1] : HS_ALIGN_INF) + 1;
+            int32_t tmp = diag < up ? diag : up;
+            int32_t x = tmp - b;
+            if (x < running) running = x;
+            int32_t r = running + b;
+            int32_t j = i + b - dl;
+            int32_t rv;
+            if (j >= 0 && j <= tlen && row_valid_i)
+                rv = r < HS_ALIGN_INF ? r : HS_ALIGN_INF;
+            else
+                rv = HS_ALIGN_INF;
+            row[b] = rv;
+            bprow[b] = (rv == diag) ? 0 : (rv == up) ? 1 : 2;
+        }
+        if (i == qlen) { std::copy(row, row + W, row_at_q); have_rowq = true; }
+        int32_t b_col = tlen - i + dl;
+        if (b_col >= 0 && b_col < W && i <= qlen) {
+            int32_t colv = row[b_col];
+            if (colv < colmin_val) { colmin_val = colv; colmin_i = i; }
+        }
+        std::swap(prev, row);
+    }
+
+    // readout (ops/align.py:readout, same first-argmin tie-breaks)
+    int32_t b_corner = tlen - qlen + dl;
+    int64_t corner = (b_corner >= 0 && b_corner < W) ? row_at_q[b_corner] : HS_ALIGN_INF;
+    int32_t b_row = 0;
+    int64_t rowbest = HS_ALIGN_INF + (int64_t)0;
+    {
+        int32_t best = HS_ALIGN_INF;
+        int32_t bi = 0;
+        for (int32_t b = 0; b < W; b++) {
+            int32_t j = qlen + b - dl;
+            int32_t v = (j >= 0 && j <= tlen) ? row_at_q[b] : HS_ALIGN_INF;
+            if (v < best) { best = v; bi = b; }
+        }
+        b_row = bi;
+        rowbest = best;
+    }
+    bool is_ext = (mode == 1);
+    bool use_col = is_ext && (colmin_val < rowbest);
+    int64_t cost = is_ext ? (rowbest < colmin_val ? rowbest : colmin_val) : corner;
+    int64_t start_i = use_col ? colmin_i : qlen;
+    int64_t start_b = use_col ? (tlen - colmin_i + dl) : (is_ext ? b_row : b_corner);
+    int64_t clip = use_col ? (qlen - colmin_i) : 0;
+    if (cost >= HS_ALIGN_INF) { start_i = 0; start_b = dl; clip = 0; }
+    *cost_out = cost;
+    *clip_out = clip;
+
+    // traceback (ops/align.py:traceback_batch, scalar walk, then reverse)
+    int64_t i64 = start_i, b64 = start_b;
+    int32_t n = 0;
+    const int64_t max_steps = (int64_t)B + (B + (W - 1 - W / 2)) + 1;  // B + t_width + 1
+    for (int64_t s = 0; s < max_steps; s++) {
+        int64_t jcol = i64 + b64 - dl;
+        if (!(i64 > 0 || jcol > 0)) break;
+        int8_t op;
+        if (i64 == 0) {
+            op = HS_TB_D;
+            b64 -= 1;
+        } else {
+            int64_t bi = i64 - 1;
+            if (bi < 0) bi = 0;
+            if (bi > B - 1) bi = B - 1;
+            int64_t bc = b64 < 0 ? 0 : (b64 > W - 1 ? W - 1 : b64);
+            uint8_t bpv = bp[(size_t)bi * W + bc];
+            int64_t qi = i64 - 1;
+            if (qi < 0) qi = 0;
+            if (qi > B - 1) qi = B - 1;
+            int64_t tj = jcol - 1;
+            if (tj < 0) tj = 0;
+            if (tj > T - 1) tj = T - 1;
+            if (bpv == 0) {
+                op = (q[qi] == t[tj]) ? HS_TB_EQ : HS_TB_X;
+                i64 -= 1;
+            } else if (bpv == 1) {
+                op = HS_TB_I;
+                i64 -= 1;
+                b64 += 1;
+            } else {
+                op = HS_TB_D;
+                b64 -= 1;
+            }
+        }
+        ops_out[n++] = op;
+    }
+    std::reverse(ops_out, ops_out + n);
+    *n_ops_out = n;
+}
+
+// jobs laid out as padded arrays exactly like the jnp path; ops written to
+// per-job regions of stride (B + t_width + 1) with lengths in n_ops.
+void hs_banded_align_tb(const int8_t* q, const int32_t* qlens, const int8_t* t,
+                        const int32_t* tlens, const int32_t* modes, int64_t n,
+                        int32_t B, int32_t T, int32_t W, int8_t* ops,
+                        int64_t ops_stride, int32_t* n_ops, int64_t* cost,
+                        int64_t* clip, int32_t n_threads) {
+    if (n <= 0) return;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n) n_threads = (int32_t)n;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<uint8_t> bp((size_t)B * W);
+        std::vector<int32_t> prev(W), row(W), rowq(W);
+        while (true) {
+            int64_t k = next.fetch_add(1);
+            if (k >= n) break;
+            hs_align_one(q + k * B, qlens[k], t + k * T, tlens[k], modes[k], B,
+                         T, W, bp.data(), prev.data(), row.data(), rowq.data(),
+                         ops + k * ops_stride, n_ops + k, cost + k, clip + k);
+        }
+    };
+    if (n_threads == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        for (int32_t tnum = 0; tnum < n_threads; tnum++) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Minimizer extraction (seeding.py:minimizers, bit-identical): rolling 2-bit
 // fwd/rc k-mers, splitmix64 canonical hash, leftmost window minimum via a
 // monotonic deque, adjacent-duplicate emission collapse (== np.unique of

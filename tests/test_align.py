@@ -229,3 +229,34 @@ def test_rescue_mapping_at_ultra_noise(rng):
     assert len({a.read_idx for a in alns}) >= 0.9 * len(sim.seqs)
     no_rescue = map_reads({"t": truth}, sim.seqs, MapConfig(rescue=False))
     assert len({a.read_idx for a in no_rescue}) < 0.7 * len(sim.seqs)
+
+
+def test_native_cpu_fused_aligner_bit_identical():
+    """hs_banded_align_tb (the CPU-backend job runner) must equal the jnp
+    scan + host readout + traceback pair element for element, across the
+    random job matrix incl. extension modes and degenerate lengths."""
+    import numpy as np
+
+    from hairsplitter_tpu import native as N
+    from tests.test_align_myers import _random_batch
+
+    if N.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for spec_, n, seed in [
+        (BandSpec(chunk=48, band=32), 64, 0),
+        (BandSpec(chunk=64, band=64), 48, 1),
+        (BandSpec(chunk=256, band=128), 48, 2),
+    ]:
+        rng = np.random.default_rng(seed)
+        q, qlens, t, tlens = _random_batch(rng, n, spec_)
+        modes = (np.arange(n) % 2).astype(np.int32)
+        res = {k: np.asarray(v) for k, v in banded_align_batch(q, qlens, t, tlens, spec_).items()}
+        cost, si, sb, clip = readout(res, qlens, tlens, modes, spec_)
+        ops_ref = traceback_batch(res["bp"], q, t, si, sb, spec_)
+        ops_nat, cost_n, clip_n = N.banded_align_tb(q, qlens, t, tlens, modes, spec_.band)
+        np.testing.assert_array_equal(cost, cost_n)
+        np.testing.assert_array_equal(clip, clip_n)
+        for k in range(n):
+            np.testing.assert_array_equal(np.asarray(ops_ref[k], np.int8), ops_nat[k])
