@@ -211,3 +211,52 @@ def test_packed_correlation_matches_unpacked():
     r1 = partition_rescue_keep(P1, P0, Af, Rf, np.float32(20.0))
     r2 = partition_rescue_keep_packed(P1, P0, Ap, Rp, np.float32(20.0))
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_auto_frac_rescues_high_frequency_snps():
+    """-u/auto_frac (reference `call_variants.cpp:531,1334-1352`): columns
+    whose second allele reaches the -u frequency are kept AUTOMATICALLY,
+    even when correlation filtering would drop them (a single isolated SNP
+    has nothing to correlate with)."""
+    import numpy as np
+
+    from hairsplitter_tpu.constants import encode_seq
+    from hairsplitter_tpu.core.datatypes import Alignment
+    from hairsplitter_tpu.pipeline.call_variants import (
+        VariantCallConfig,
+        call_variants_from_prep,
+        finish_preps,
+        prepare_contig_host,
+    )
+    from hairsplitter_tpu.utils.sim import random_genome
+
+    rng = np.random.default_rng(3)
+    contig = random_genome(4000, rng)
+    # 20 reads: half carry ONE isolated substitution at position 2000
+    codes = encode_seq(contig)
+    alt = (codes[2000] + 1) % 4
+    reads, alns = {}, []
+    for r in range(20):
+        rc = codes.copy()
+        if r % 2 == 0:
+            rc[2000] = alt
+        from hairsplitter_tpu.constants import decode_seq
+
+        reads[r] = decode_seq(rc)
+        alns.append(
+            Alignment(
+                read_idx=r, contig="c", strand=1, q_start=0, q_end=4000,
+                t_start=0, t_end=4000, nm=1 if r % 2 == 0 else 0,
+                cigar_ops=np.array([0], np.int8),
+                cigar_lens=np.array([4000], np.int64),
+            )
+        )
+    cfg = VariantCallConfig(auto_frac=0.33)
+    prep = prepare_contig_host("c", contig, alns, reads, cfg)
+    preps = finish_preps([prep], cfg)
+    cv = call_variants_from_prep(preps["c"], 0.02, cfg)
+    # the lone 50%-frequency SNP is kept (automatic keep at -u 0.33; a
+    # clean balanced column also stands on its own in the robust filter)
+    assert any(c.pos == 2000 for c in cv.columns), [c.pos for c in cv.columns]
+    # and nothing spurious was called elsewhere
+    assert all(c.pos == 2000 for c in cv.columns), [c.pos for c in cv.columns]
