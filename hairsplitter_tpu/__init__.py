@@ -20,4 +20,4 @@ the design is TPU-first:
   (reference `src/create_new_contigs.cpp`, `src/GraphUnzip/`).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
