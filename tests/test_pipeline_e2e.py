@@ -103,3 +103,38 @@ def test_full_pipeline_two_strains(tmp_path, rng):
     assert os.path.exists(os.path.join(out, "hairsplitter_summary.txt"))
     assert os.path.exists(os.path.join(out, "variants.vcf"))
     assert os.path.exists(os.path.join(out, "tmp", "zipped_assembly.gfa"))
+
+
+def test_hifi_preset_end_to_end(tmp_path, rng):
+    """-x hifi runs the whole pipeline with the HiFi seeding preset
+    (k19/w19, no rescue pass — low-error reads need no dense re-seeding)
+    and still phases a diploid mix perfectly at 1% read error."""
+    from hairsplitter_tpu.constants import revcomp
+    from hairsplitter_tpu.io.fasta import write_fasta
+    from hairsplitter_tpu.io.gfa import parse_gfa
+    from hairsplitter_tpu.pipeline.orchestrate import PipelineConfig, run_pipeline
+    from hairsplitter_tpu.utils.sim import make_haplotypes, mutate, simulate_reads, write_sim_fasta
+
+    hap1 = make_haplotypes(15_000, 1, 0.001, rng)[0]
+    hap2, _ = mutate(hap1, 0.01, rng)
+    sim = simulate_reads(
+        [hap1, hap2], coverage=12, read_len=6000, rng=rng,
+        sub_rate=0.006, ins_rate=0.002, del_rate=0.002, uniform_edges=True,
+    )
+    asm = str(tmp_path / "asm.fa")
+    rd = str(tmp_path / "reads.fa")
+    write_fasta(asm, {"chrI": hap1})
+    write_sim_fasta(rd, sim)
+    final = run_pipeline(asm, rd, str(tmp_path / "out"), PipelineConfig(technology="hifi"))
+    g = parse_gfa(final)
+
+    def kmers(s, k=31, step=1):
+        return {s[i : i + k] for i in range(0, len(s) - k + 1, step)}
+
+    ok = set()
+    for s in g.segments.values():
+        ok |= kmers(s)
+        ok |= kmers(revcomp(s))
+    for hap in (hap1, hap2):
+        qs = kmers(hap[500:14500], step=7)
+        assert len(qs & ok) / len(qs) > 0.97, len(qs & ok) / len(qs)
