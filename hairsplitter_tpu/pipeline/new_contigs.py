@@ -128,10 +128,26 @@ def recompute_depths(
 
 
 @dataclass
+class GafPart:
+    """One GAF record: a read's traversal of linked new contigs, with the
+    real per-path alignment fields (the reference emits one GAF line per
+    merged path, `create_new_contigs.cpp:1296-1420`)."""
+
+    elems: list[tuple[str, int]]
+    q_start: int
+    q_end: int
+    nm: int
+    alen: int
+    path_off: int  # start offset within the path (col 8)
+
+
+@dataclass
 class ZipResult:
     graph: AssemblyGraph
     read_paths: dict[int, list[tuple[str, int]]]  # read_idx -> [(new contig, orient)]
     summary: list[str]
+    # per-read GAF parts; read_paths is their concatenation (for the untangler)
+    read_path_parts: dict[int, list[GafPart]] | None = None
 
 
 def create_new_contigs(
@@ -315,33 +331,90 @@ def create_new_contigs(
     new_graph.dedupe_links()
 
     # per-read paths through the new contigs: within a contig, the ordered
-    # interval groups of the read; across contigs, ordered by read coordinate
+    # interval groups of the read; across contigs, ordered by read coordinate.
+    # Cross-contig parts are merged only when a graph link actually connects
+    # them (the reference merges only when `find_paths` returns exactly one
+    # connecting path, `create_new_contigs.cpp:1296-1420`); unmergeable parts
+    # become separate GAF records, separated by a cancel slot in the flat
+    # untangler path so no phantom adjacency is asserted.
+    from .unzip import DUMMY
+
     read_paths: dict[int, list[tuple[str, int]]] = {}
-    path_elems: dict[int, list[tuple[int, list[tuple[str, int]]]]] = {}
+    read_path_parts: dict[int, list[GafPart]] = {}
+    path_elems: dict[int, list[GafPart]] = {}
     for contig, (alns, groups) in per_contig.items():
         if groups is None:
             continue
         cz = zips[contig]
         for row, a in enumerate(alns):
             elems: list[tuple[str, int]] = []
+            ivs = []
             for iv in cz.intervals:
                 if row < iv.labels.size and iv.labels[row] > -1:
                     nm = cz.names.get((iv.start, int(iv.labels[row])))
                     if nm is not None:
                         elems.append((nm, 1))
+                        ivs.append(iv)
             if not elems:
                 continue
             if a.strand == 0:
                 elems = [(nm, 0) for nm, _ in reversed(elems)]
-            path_elems.setdefault(a.read_idx, []).append((a.q_start, elems))
+                # path walked against the contig: starts inside the LAST
+                # traversed interval, at its far end
+                path_off = max(0, int(ivs[-1].end) - a.t_end)
+            else:
+                path_off = max(0, a.t_start - int(ivs[0].start))
+            path_elems.setdefault(a.read_idx, []).append(
+                GafPart(
+                    elems=elems,
+                    q_start=a.q_start,
+                    q_end=a.q_end,
+                    nm=a.nm,
+                    alen=a.q_end - a.q_start,
+                    path_off=path_off,
+                )
+            )
+    # canonical link keys of the new graph for the merge test
+    def _lkey(n1: str, o1: str, n2: str, o2: str) -> tuple:
+        flip = {"+": "-", "-": "+"}
+        a = (n1, o1, n2, o2)
+        b = (n2, flip[o2], n1, flip[o1])
+        return min(a, b)
+
+    linkset = {_lkey(l.name1, l.orient1, l.name2, l.orient2) for l in new_graph.links}
     for ridx, parts in path_elems.items():
-        parts.sort(key=lambda t: t[0])
+        parts.sort(key=lambda t: t.q_start)
+        merged: list[GafPart] = [parts[0]]
+        for nxt in parts[1:]:
+            prev = merged[-1]
+            tn, ts = prev.elems[-1]
+            hn, hs = nxt.elems[0]
+            connected = _lkey(tn, "+" if ts == 1 else "-", hn, "+" if hs == 1 else "-") in linkset
+            if connected:
+                merged[-1] = GafPart(
+                    elems=prev.elems + nxt.elems,
+                    q_start=prev.q_start,
+                    q_end=max(prev.q_end, nxt.q_end),
+                    nm=prev.nm + nxt.nm,
+                    alen=prev.alen + nxt.alen,
+                    path_off=prev.path_off,
+                )
+            else:
+                merged.append(nxt)
+        read_path_parts[ridx] = merged
         path: list[tuple[str, int]] = []
-        for _, elems in parts:
-            path.extend(elems)
+        for i, part in enumerate(merged):
+            if i > 0:
+                path.append((DUMMY, 1))
+            path.extend(part.elems)
         read_paths[ridx] = path
 
-    return ZipResult(graph=new_graph, read_paths=read_paths, summary=summary)
+    return ZipResult(
+        graph=new_graph,
+        read_paths=read_paths,
+        summary=summary,
+        read_path_parts=read_path_parts,
+    )
 
 
 def _terminal_names(cz: ContigZip | None, orient: str, is_first_endpoint: bool) -> list[str]:
@@ -369,25 +442,52 @@ def write_gaf(
     graph=None,
     alignments=None,
     read_lens=None,
+    read_path_parts: dict[int, list[GafPart]] | None = None,
 ) -> None:
     """Write read paths in GAF (`doc/README.md` / `create_new_contigs.cpp:
-    1128-1420`). With `graph` and the stage-2 `alignments`, real coordinate
-    fields are emitted: query length/span from the read's alignments, path
-    length from the traversed contigs, matches approximated from the
-    alignment NM counts."""
-    span: dict[int, tuple[int, int, int, int]] = {}
-    if alignments:
-        for a in alignments:
-            qlen = getattr(a, "q_len", 0) or 0
-            lo, hi, nm, alen = span.get(a.read_idx, (1 << 60, 0, 0, 0))
-            span[a.read_idx] = (
-                min(lo, a.q_start),
-                max(hi, a.q_end),
-                nm + a.nm,
-                alen + (a.q_end - a.q_start),
-            )
+    1128-1420`). With `read_path_parts` (ZipResult), one record per merged
+    path is emitted — like the reference — with that path's real query
+    span, start offset within the path, and residue matches from the
+    contributing alignments' NM counts. The aggregate (`alignments`)
+    fallback keeps old callers working."""
     with open(path, "w") as f:
+        if read_path_parts is not None:
+            for ridx, parts in sorted(read_path_parts.items()):
+                for part in parts:
+                    if not part.elems:
+                        continue
+                    pstr = "".join((">" if o == 1 else "<") + nm for nm, o in part.elems)
+                    plen = (
+                        sum(len(graph.segments.get(nm, "")) for nm, _o in part.elems)
+                        if graph is not None
+                        else 0
+                    )
+                    qlen = (
+                        int(read_lens.get(ridx, part.q_end)) if read_lens else part.q_end
+                    )
+                    matches = max(0, part.alen - part.nm)
+                    off = min(part.path_off, max(plen - 1, 0))
+                    f.write(
+                        f"{read_names.get(ridx, f'read_{ridx}')}\t{qlen}\t"
+                        f"{part.q_start}\t{part.q_end}\t+\t"
+                        f"{pstr}\t{plen}\t{off}\t{min(off + part.alen, plen)}\t"
+                        f"{matches}\t{max(part.alen, 1)}\t60\n"
+                    )
+            return
+        span: dict[int, tuple[int, int, int, int]] = {}
+        if alignments:
+            for a in alignments:
+                lo, hi, nm, alen = span.get(a.read_idx, (1 << 60, 0, 0, 0))
+                span[a.read_idx] = (
+                    min(lo, a.q_start),
+                    max(hi, a.q_end),
+                    nm + a.nm,
+                    alen + (a.q_end - a.q_start),
+                )
+        from .unzip import DUMMY
+
         for ridx, p in sorted(read_paths.items()):
+            p = [e for e in p if e[0] != DUMMY]
             if not p:
                 continue
             pstr = "".join((">" if o == 1 else "<") + nm for nm, o in p)

@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Respect JAX_PLATFORMS before any jax import (the axon sitecustomize
+# re-pins the tunneled TPU otherwise; cli.py/graphunzip.py do the same)
+from hairsplitter_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
