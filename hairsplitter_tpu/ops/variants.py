@@ -56,6 +56,10 @@ def suspect_mask(
     top_counts,  # int32 [P, 3]
     min_reads,  # scalar int32 (5; 3 for HiFi)
     auto_frac,  # scalar f32 (the -u rescue threshold, default 0.33)
+    min_reads_low=None,  # lower floor for suspect ADMISSION (robust-filter
+    # validated); automatics keep the reference floor. Low-coverage strains
+    # (~5x) have private-SNP columns with 4-5 ALT reads that the reference's
+    # flat `>5` bar drops before the partition machinery can validate them.
 ):
     """Suspect / automatic column masks (reference rules, clean trimer decode).
 
@@ -77,13 +81,18 @@ def suspect_mask(
     not_homopolymer_indel = (central2 != GAP) | (
         (prev1_2 != central1) & (prev2_2 != central1)
     )
-    suspect = (
-        (c2 > min_reads)
-        & (c2 > 5 * c3)
-        & (central1 != central2)
-        & not_homopolymer_indel
-    )
-    automatic = suspect & (c2.astype(np.float32) > np.float32(auto_frac) * c1.astype(np.float32))
+    if min_reads_low is None:
+        min_reads_low = min_reads
+    base = (central1 != central2) & not_homopolymer_indel
+    # low-support admission relaxes the 5x-third-allele dominance rule to
+    # 2x: at ~50x coverage the error process alone puts ~1 read on a third
+    # allele, so `c2 > 5*c3` silently re-raises the floor to 6 and drops
+    # every private column of a ~5x strain before the robust filter can
+    # weigh in. Strong (reference-floor) columns keep the 5x rule.
+    suspect = (c2 > min_reads_low) & (c2 > 2 * c3) & base
+    strong = (c2 > min_reads) & (c2 > 5 * c3) & base
+    suspect |= strong
+    automatic = strong & (c2.astype(np.float32) > np.float32(auto_frac) * c1.astype(np.float32))
     return suspect, automatic
 
 
@@ -167,16 +176,22 @@ def _unpack_bits_f32(p):
 
 
 @jax.jit
-def pairwise_column_correlation_packed(Ap, Rp, pos, chi2_keep, max_span):
+def pairwise_column_correlation_packed(
+    Ap, Rp, pos, chi2_keep, max_span, margin=jnp.float32(0.05), margin_min=jnp.float32(2.0)
+):
     """`pairwise_column_correlation` taking BIT-PACKED allele indicators:
     the read-axis ships as 1 bit per cell and unpacks on device (the S x R
     f32 matrices cost ~32x the transfer of the packed form — through a
     tunneled chip the transfer, not the matmuls, dominated stage 3)."""
-    return pairwise_column_correlation(_unpack_bits_f32(Ap), _unpack_bits_f32(Rp), pos, chi2_keep, max_span)
+    return pairwise_column_correlation(
+        _unpack_bits_f32(Ap), _unpack_bits_f32(Rp), pos, chi2_keep, max_span, margin, margin_min
+    )
 
 
 @jax.jit
-def pairwise_column_correlation(A, Rf, pos, chi2_keep, max_span):
+def pairwise_column_correlation(
+    A, Rf, pos, chi2_keep, max_span, margin=jnp.float32(0.05), margin_min=jnp.float32(2.0)
+):
     """Device pairwise column-correlation step of the robust filter
     (reference `keep_only_robust_variants` distance/chi2 scan,
     `src/call_variants.cpp:577-768`): the four S x S contingency matmuls,
@@ -196,12 +211,19 @@ def pairwise_column_correlation(A, Rf, pos, chi2_keep, max_span):
     comparable = n00 + n01 + n10 + n11
     m1 = f10 + f11
     m2 = f01 + f11
-    balanced = (
-        (m1 > 0.1 * comparable)
-        & (m1 < 0.9 * comparable)
-        & (m2 > 0.1 * comparable)
-        & (m2 < 0.9 * comparable)
-    )
+    # margin gate: the reference requires both margins within [0.1, 0.9] of
+    # the comparable reads (`call_variants.cpp:606-607`), which rejects every
+    # pair of a <=10%-abundance strain's private columns; an absolute floor
+    # with a 5% fraction keeps the degenerate-table guard while letting
+    # low-abundance partitions form (round-5 low-coverage frontier)
+    lo = jnp.maximum(margin_min, margin * comparable)
+    balanced = (m1 > lo) & (m1 < comparable - lo) & (m2 > lo) & (m2 < comparable - lo)
+    # chance-bridge guard: two truly co-partitioning columns share their
+    # whole alt-side read set, so require a minimum absolute agreement on
+    # the (phase-aligned) alt side — a chi2-passing pair sharing only 1-2
+    # reads is a noise bridge that would transitively merge unrelated
+    # partitions in the component step
+    balanced &= f11 >= jnp.float32(3.0)
     near = jnp.abs(pos[:, None] - pos[None, :]) <= max_span
     s = A.shape[0]
     eye = jnp.eye(s, dtype=bool)

@@ -80,6 +80,17 @@ class VariantCallConfig:
     window: int = WINDOW
     min_reads_suspect: int = 5
     min_reads_suspect_hifi: int = 3
+    # lower ADMISSION floor for the robust filter (c2 > this): columns with
+    # 3-5 ALT reads — a ~5x strain's private SNPs, through local coverage
+    # dips — enter partition discovery and must earn their keep through
+    # partition recurrence + significance; automatics keep the reference
+    # floor (round-5 low-coverage frontier; reference flat bar
+    # `call_variants.cpp:526`)
+    min_reads_suspect_low: int = 3
+    # pairwise-correlation margin gate (reference [0.1, 0.9],
+    # `call_variants.cpp:606-607`): fraction + absolute read floor
+    corr_margin: float = 0.05
+    corr_margin_min: float = 2.0
     hifi_error_threshold: float = 0.015
     auto_frac: float = 0.33  # reference -u (hairsplitter.py:36)
     min_snp_spacing: int = 5
@@ -171,7 +182,13 @@ def robust_filter(
         posp[:S] = pos
         Ap_dev, Rp_dev = _jax.device_put(Ap), _jax.device_put(Rp)
         corr_b, flip_b = pairwise_column_correlation_packed(
-            Ap_dev, Rp_dev, posp, np.float32(cfg.chi2_keep), np.int64(cfg.max_partition_span)
+            Ap_dev,
+            Rp_dev,
+            posp,
+            np.float32(cfg.chi2_keep),
+            np.int64(cfg.max_partition_span),
+            np.float32(cfg.corr_margin),
+            np.float32(cfg.corr_margin_min),
         )
         corr_h, flip_h = pull_all(corr_b, flip_b)
         corr = np.unpackbits(corr_h, axis=1, bitorder="little")[:S, :S].astype(bool)
@@ -193,33 +210,41 @@ def robust_filter(
         comparable = n00 + n01 + n10 + n11
         m1 = f10 + f11
         m2 = f01 + f11
-        balanced = (
-            (m1 > 0.1 * comparable)
-            & (m1 < 0.9 * comparable)
-            & (m2 > 0.1 * comparable)
-            & (m2 < 0.9 * comparable)
-        )
+        # margin gate with an absolute floor (see
+        # ops/variants.py:pairwise_column_correlation — twins kept in sync):
+        # the reference's [0.1, 0.9] margins reject every column pair of a
+        # <=10%-abundance strain
+        lo = np.maximum(cfg.corr_margin_min, cfg.corr_margin * comparable)
+        balanced = (m1 > lo) & (m1 < comparable - lo) & (m2 > lo) & (m2 < comparable - lo)
+        # chance-bridge guard (twin of ops/variants.py): minimum absolute
+        # phase-aligned alt-side agreement
+        balanced &= f11 >= 3
         near = np.abs(pos[:, None] - pos[None, :]) <= cfg.max_partition_span
         corr = (chi > cfg.chi2_keep) & balanced & near
         np.fill_diagonal(corr, False)
 
-    # connected components of the correlation graph (a dense corr block can
-    # hold millions of edges — a Python union-find loop over pairs dominates
-    # the stage at 5k+ suspect columns)
-    try:
-        from scipy.sparse import csr_matrix
-        from scipy.sparse.csgraph import connected_components
+    # cluster the correlation graph into partitions by label propagation
+    # (Chinese Whispers, the same kernel stage 4 uses on the read graph).
+    # Transitive closure (connected components) is wrong here: in a
+    # multi-strain mixture, columns of DIFFERENT bipartitions correlate
+    # pairwise (strain-1 alt reads are a subset of the strain-0-site alt
+    # side), so A-corr-B-corr-C chains weld every strain's columns into one
+    # hairball whose consensus is the majority split — low-abundance
+    # partitions never surface (measured: one 548-column component holding
+    # 62 rare-strain columns). CW assigns each column to the label carried
+    # by most of its correlated neighbors, which splits the hairball into
+    # per-bipartition clusters; the reference's sequential
+    # partition-augmentation (`call_variants.cpp:589-707`) achieves the
+    # same separation through its distance thresholds, order-dependently.
+    from .. import native as _native
+    from ..ops.cluster import cw_numpy
 
-        _, comp = connected_components(csr_matrix(corr), directed=False)
-    except ImportError:  # vectorized min-label propagation, same components
-        comp = np.arange(S)
-        adj = corr | corr.T
-        while True:
-            neigh = np.where(adj, comp[None, :], S).min(axis=1)
-            new = np.minimum(comp, neigh)
-            if np.array_equal(new, comp):
-                break
-            comp = new
+    adjS = np.ascontiguousarray((corr | corr.T).astype(np.int8))
+    initS = np.arange(S, dtype=np.int64)
+    maskS = np.ones(S, dtype=bool)
+    comp = _native.chinese_whispers(adjS, initS, maskS, seed=0)
+    if comp is None:
+        comp = cw_numpy(adjS, initS, maskS, seed=0)
     clusters: dict[int, list[int]] = {}
     for s in range(S):
         clusters.setdefault(int(comp[s]), []).append(s)
@@ -530,6 +555,7 @@ def call_variants_from_prep(
             tn.astype(np.int32),
             np.int32(min_reads),
             np.float32(cfg.auto_frac),
+            min_reads_low=np.int32(min(min_reads, cfg.min_reads_suspect_low)),
         )
         sus = np.asarray(sus)
         auto = np.asarray(auto)

@@ -54,6 +54,20 @@ class SeparateConfig:
     # chance — killing it dissolves the strain into its neighbors for that
     # window and breaks the contig chain there
     continuity_rescue: bool = True
+    # window membership rule. "strict" = present at the window's first AND
+    # last SNP column (the reference's spanning mask,
+    # `separate_reads.cpp:1590-1621`). "fractional" (default, beyond
+    # parity) = present at >=70% of the window SNP columns the read's span
+    # reaches, provided the span reaches >=50% of them: at low per-strain
+    # coverage (~5-10x) the strict rule drops every read that starts or
+    # ends mid-window, pushing thin strains under the 5-read cluster floor
+    # (`separate_reads.cpp:936`) and dissolving them window by window —
+    # the round-4 contiguity frontier. Clustering itself is unaffected by
+    # partial members because sim/diff are contig-global; the min-overlap
+    # edge rule still guards against weak-signature links.
+    span_mode: str = "fractional"
+    member_col_presence: float = 0.7  # presence among the span's window columns
+    member_window_frac: float = 0.5  # fraction of window columns the span must reach
     # downsampling cap: the reference keeps max 50/rarest_strain_abundance
     # reads per contig (`separate_reads.cpp:1420-1426`); default matches
     # the CLI's 0.01 (`hairsplitter.py:45`)
@@ -536,13 +550,32 @@ def separate_reads_for_contig(
         if in_win.size == 0:
             win_data.append(None)
             continue
-        first_col = columns[int(in_win[0])]
-        last_col = columns[int(in_win[-1])]
-        mask = np.zeros(n_rows, dtype=bool)
-        mask[first_col.rows] = True
-        last_set = np.zeros(n_rows, dtype=bool)
-        last_set[last_col.rows] = True
-        mask &= last_set
+        if cfg.span_mode == "strict":
+            # reference spanning mask: present at first AND last window SNP
+            first_col = columns[int(in_win[0])]
+            last_col = columns[int(in_win[-1])]
+            mask = np.zeros(n_rows, dtype=bool)
+            mask[first_col.rows] = True
+            last_set = np.zeros(n_rows, dtype=bool)
+            last_set[last_col.rows] = True
+            mask &= last_set
+        else:
+            # fractional membership (see SeparateConfig.span_mode): count
+            # presence over the window's columns, and the number of window
+            # columns each read's span reaches
+            pos_w = pos_arr[in_win]
+            present = np.zeros(n_rows, dtype=np.int32)
+            for s in in_win:
+                present[columns[int(s)].rows] += 1
+            reach = np.searchsorted(pos_w, spans[:, 1], side="right") - np.searchsorted(
+                pos_w, spans[:, 0], side="left"
+            )
+            min_cols = min(2, in_win.size)
+            mask = (
+                (present >= min_cols)
+                & (present >= cfg.member_col_presence * reach)
+                & (reach >= max(min_cols, cfg.member_window_frac * in_win.size))
+            )
         seeds = []
         lastpos = -10 - cfg.seed_snp_spacing
         for s in in_win:
@@ -592,7 +625,10 @@ def separate_reads_for_contig(
         else:
             adj = build_read_graph(mask, sim, diff, cv.error_rate)
             local = [run_cw(adj, init, mask) for init in seeds]
-        win_graph[wi] = (adj, merge_clusterings(local, adj, mask))
+        merged0 = merge_clusterings(local, adj, mask)
+        # weakly-cut sub-communities are separate haplotypes the seeds
+        # happened to alias (see split_communities)
+        win_graph[wi] = (adj, split_communities(merged0, adj, mask))
 
     # phase C2 (host): kill/rescue + final merges, original order
     prev_final: np.ndarray | None = None  # previous window's final labels
@@ -629,9 +665,17 @@ def separate_reads_for_contig(
             if nxt is not None:
                 neighbors.append(nxt)
             for g in sorted(small):
-                if sizes[g] < 3:
+                if sizes[g] < 2:
                     continue
                 member = merged == g
+                # a thin strain at ~5x forms CHAINS of 2-6 read clusters
+                # across consecutive windows; demanding a >=5-read anchor
+                # somewhere in the chain (the old rule) kills the whole
+                # chain. Confirmation = most of the cluster's reads
+                # continuing one >=3-read group next door; 2-read clusters
+                # need it on BOTH sides.
+                need_confirm = 2 if sizes[g] == 2 else 1
+                confirmed = 0
                 for nb_labels in neighbors:
                     pl = nb_labels[member]
                     pl = pl[pl >= 0]
@@ -640,9 +684,10 @@ def separate_reads_for_contig(
                     cnt = np.bincount(pl)
                     p = int(cnt.argmax())
                     nb_sizes = np.bincount(nb_labels[nb_labels >= 0])
-                    if cnt[p] >= 3 and nb_sizes[p] >= cfg.min_cluster_size:
-                        small.discard(g)
-                        break
+                    if cnt[p] >= max(2, sizes[g] // 2) and nb_sizes[p] >= 3:
+                        confirmed += 1
+                if confirmed >= need_confirm and len(neighbors) >= need_confirm:
+                    small.discard(g)
         labels = merged.copy()
         for g in small:
             labels[merged == g] = -1
@@ -739,6 +784,48 @@ def _phase_windows_full(
         adj_all, labs_all = pull_all(adj_d, labs_d)
         for bi, i in enumerate(grp):
             out[i] = (adj_all[bi, :n_rows, :n_rows], labs_all[bi])
+    return out
+
+
+def split_communities(labels: np.ndarray, adj: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Split clusters that are really several weakly-cut communities.
+
+    Per-SNP seeding hands one label to all carriers of an allele
+    (`_seed_from_column`), so a thin strain that shares backbone alleles
+    with a bigger strain at the assembly strain's own SNP sites inherits
+    the big strain's label; if even ONE marginal edge (distance barely
+    above the floor) connects the two read sets, majority propagation then
+    absorbs the thin clique into the big cluster (measured: a 3-read rare
+    triangle with internal distances 0.96+ welded to a 16-read cluster by
+    a single 0.831 edge at floor 0.827; reference CW has the same blind
+    spot, `cluster_graph.cpp:152-230`). Re-propagating WITHIN the cluster
+    from identity seeds is bias-free: dense sub-communities keep their own
+    label. A split is accepted only when the cut is weak — fewer crossing
+    edges than the smaller side has nodes — so legitimate clusters stay
+    whole."""
+    out = labels.copy()
+    next_label = int(labels.max(initial=0)) + 1
+    for g in sorted(set(labels[(labels >= 0) & mask].tolist())):
+        rows = np.nonzero(mask & (labels == g))[0]
+        if rows.size <= 3:
+            continue
+        sub = np.ascontiguousarray(adj[np.ix_(rows, rows)])
+        comm = run_cw(sub, np.arange(rows.size, dtype=np.int64), np.ones(rows.size, bool))
+        parts = sorted(set(comm[comm >= 0].tolist()))
+        if len(parts) <= 1:
+            continue
+        # evaluate each minority community against the rest: split off only
+        # weak cuts (cut edges < min side size)
+        sizes = {p: int((comm == p).sum()) for p in parts}
+        main = max(parts, key=lambda p: sizes[p])
+        for p in parts:
+            if p == main:
+                continue
+            mem = comm == p
+            cut = int(sub[np.ix_(mem, ~mem)].sum())
+            if cut < min(sizes[p], rows.size - sizes[p]):
+                out[rows[mem]] = next_label
+                next_label += 1
     return out
 
 
