@@ -105,6 +105,36 @@ def _map_best_contig(contigs, seqs):
     return {i: c for i, (_, c) in best.items()}
 
 
+def cmd_dbg(args) -> int:
+    """Contig-space de Bruijn untangling (reference `contig_DBG.py:373`
+    `DBG_long_reads` / `solve_with_long_reads.py:27` capability — their
+    call sites are commented out in the reference CLI, `graphunzip.py:20,
+    404-420`; exposed here as a first-class subcommand)."""
+    from .io.fasta import write_fasta
+    from .io.gaf import parse_gaf
+    from .io.gfa import bluntify_graph, gfa_to_fasta, parse_gfa, write_gfa
+    from .pipeline.dbg import dbg_unzip
+
+    g = parse_gfa(args.gfa)
+    read_paths, _names = parse_gaf(args.gaf)
+    print(f"{len(g.segments)} contigs, {len(read_paths)} informative read paths")
+    out = dbg_unzip(
+        g, read_paths, k_max=args.kmax, chunk=args.chunk, min_abundance=args.min_abundance
+    )
+    if args.blunt:
+        trimmed = bluntify_graph(out)
+        print(f"bluntified: trimmed {trimmed} overlap bases")
+    out.segments = {
+        n: out.segments[n]
+        for n in sorted(out.segments, key=lambda n: len(out.segments[n]), reverse=True)
+    }
+    write_gfa(out, args.out)
+    if args.fasta:
+        write_fasta(args.fasta, gfa_to_fasta(out))
+    print(f"done: {args.out} ({len(out.segments)} contigs)")
+    return 0
+
+
 def cmd_hic_im(args) -> int:
     from .io.fasta import read_fasta
     from .io.gfa import parse_gfa
@@ -203,6 +233,23 @@ def main(argv=None) -> int:
     )
     u.add_argument("--supercontigs", default="supercontigs.txt")
     u.set_defaults(fn=cmd_unzip)
+
+    d = sub.add_parser(
+        "dbg",
+        help="contig-space de Bruijn untangling from long-read paths "
+        "(reference contig_DBG.py DBG_long_reads capability)",
+    )
+    d.add_argument("-g", "--gfa", required=True)
+    d.add_argument("-l", "--gaf", required=True, help="read paths (GAF)")
+    d.add_argument("-o", "--out", default="output.gfa")
+    d.add_argument("-f", "--fasta", default="", help="optional FASTA output")
+    d.add_argument("-k", "--kmax", type=int, default=9, help="max symbol k (reference stops at 9)")
+    d.add_argument("--chunk", type=int, default=1000, help="contig chunk size in bp")
+    d.add_argument("--min-abundance", type=int, default=1)
+    d.add_argument(
+        "--blunt", action="store_true", help="trim overlap links to 0M after untangling"
+    )
+    d.set_defaults(fn=cmd_dbg)
 
     h = sub.add_parser("hic-im", help="Hi-C interaction matrix (mates mapped in-process)")
     h.add_argument("-g", "--gfa", required=True)

@@ -177,7 +177,7 @@ def _unpack_bits_f32(p):
 
 @jax.jit
 def pairwise_column_correlation_packed(
-    Ap, Rp, pos, chi2_keep, max_span, margin=jnp.float32(0.05), margin_min=jnp.float32(2.0)
+    Ap, Rp, pos, chi2_keep, max_span, margin=jnp.float32(0.1), margin_min=jnp.float32(0.0)
 ):
     """`pairwise_column_correlation` taking BIT-PACKED allele indicators:
     the read-axis ships as 1 bit per cell and unpacks on device (the S x R
@@ -190,7 +190,7 @@ def pairwise_column_correlation_packed(
 
 @jax.jit
 def pairwise_column_correlation(
-    A, Rf, pos, chi2_keep, max_span, margin=jnp.float32(0.05), margin_min=jnp.float32(2.0)
+    A, Rf, pos, chi2_keep, max_span, margin=jnp.float32(0.1), margin_min=jnp.float32(0.0)
 ):
     """Device pairwise column-correlation step of the robust filter
     (reference `keep_only_robust_variants` distance/chi2 scan,

@@ -88,9 +88,14 @@ class VariantCallConfig:
     # `call_variants.cpp:526`)
     min_reads_suspect_low: int = 3
     # pairwise-correlation margin gate (reference [0.1, 0.9],
-    # `call_variants.cpp:606-607`): fraction + absolute read floor
-    corr_margin: float = 0.05
-    corr_margin_min: float = 2.0
+    # `call_variants.cpp:606-607`): fraction + absolute read floor.
+    # Defaults match the reference — measured: relaxing to 5% admits
+    # systematically-correlated hp-indel noise partitions at high coverage
+    # (hard-mode rare strain 0.987 -> 0.902) while the low-coverage rescue
+    # the relaxation was meant for is carried by the CW partition
+    # clustering (skewed ~5x rare 0.912 with reference margins)
+    corr_margin: float = 0.1
+    corr_margin_min: float = 0.0
     hifi_error_threshold: float = 0.015
     auto_frac: float = 0.33  # reference -u (hairsplitter.py:36)
     min_snp_spacing: int = 5
