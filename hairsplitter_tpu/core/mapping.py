@@ -72,6 +72,11 @@ class MapConfig:
     rescue: bool = True
     rescue_k: int = 11
     rescue_w: int = 6
+    # homopolymer-compressed seeding (minimap2 -H): the reference's pacbio
+    # preset is `minimap2 -x map-pb` which seeds in HPC space
+    # (`hairsplitter.py:629`) — CLR-profile errors are hp-indel-dominated,
+    # so raw k19 minimizers starve of anchors at ~15% error
+    hpc: bool = False
 
     @property
     def maxdrift(self) -> int:
@@ -477,7 +482,7 @@ def map_reads(
         # with restriction, homologous drafts share minimizers: scale the
         # repetitiveness cutoff so shared seeds survive the joint index
         occ = cfg.max_occ * (max(1, len(contigs)) if restrict is not None else 1)
-        index = MinimizerIndex.build(contig_codes, k=cfg.k, w=cfg.w, max_occ=occ)
+        index = MinimizerIndex.build(contig_codes, k=cfg.k, w=cfg.w, max_occ=occ, hpc=cfg.hpc)
     if read_indices is None:
         read_indices = list(range(len(read_seqs)))
     restrict_by_idx = (

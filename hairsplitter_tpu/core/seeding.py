@@ -47,14 +47,40 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def minimizers(codes: np.ndarray, k: int, w: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def hpc_compress(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Homopolymer-compress a code array: runs of the same base collapse to
+    one. Returns (compressed codes, original position of each compressed
+    base — the run start). minimap2's `-H` (the map-pb preset the reference
+    relies on for PacBio CLR, `hairsplitter.py:629`): CLR errors are
+    indel-dominated inside homopolymer runs, so seeding in HPC space
+    recovers anchors raw k-mers lose."""
+    if codes.size == 0:
+        return codes, np.zeros(0, np.int64)
+    keep = np.empty(codes.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+    orig = np.nonzero(keep)[0].astype(np.int64)
+    return np.ascontiguousarray(codes[keep]), orig
+
+
+def minimizers(
+    codes: np.ndarray, k: int, w: int, hpc: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(positions, canonical k-mer hashes, strand) of the sequence's minimizers.
 
     strand: 0 if the forward k-mer is canonical, 1 if the reverse complement is.
-    Dispatches to the native rolling implementation when available
-    (bit-identical; ~10x the numpy path, tests/test_native.py)."""
+    With hpc, minimizers are extracted from the homopolymer-compressed
+    sequence and positions map back to ORIGINAL coordinates (run starts);
+    the few-base positional slack vs the nominal k-mer span is absorbed by
+    the DP band like the interpolated pins are. Dispatches to the native
+    rolling implementation when available (bit-identical; ~10x the numpy
+    path, tests/test_native.py)."""
     from .. import native as _native
 
+    if hpc:
+        comp, orig = hpc_compress(np.asarray(codes, dtype=np.int8))
+        p, h, s = minimizers(comp, k, w, hpc=False)
+        return orig[p], h, s
     out = _native.minimizers(np.ascontiguousarray(codes, dtype=np.int8), k, w)
     if out is not None:
         return out
@@ -95,15 +121,23 @@ class MinimizerIndex:
     _pos: np.ndarray = None
     _strand: np.ndarray = None
     max_occ: int = 64  # drop repetitive seeds occurring more often than this
+    hpc: bool = False  # homopolymer-compressed seeding (minimap2 -H / map-pb)
 
     @classmethod
-    def build(cls, contigs: dict[str, np.ndarray], k: int = 15, w: int = 10, max_occ: int = 64) -> "MinimizerIndex":
+    def build(
+        cls,
+        contigs: dict[str, np.ndarray],
+        k: int = 15,
+        w: int = 10,
+        max_occ: int = 64,
+        hpc: bool = False,
+    ) -> "MinimizerIndex":
         """contigs: name -> int8 base-code array."""
-        idx = cls(k=k, w=w, max_occ=max_occ)
+        idx = cls(k=k, w=w, max_occ=max_occ, hpc=hpc)
         hs, cids, poss, strs = [], [], [], []
         for cid, (name, codes) in enumerate(contigs.items()):
             idx.contig_names.append(name)
-            p, h, s = minimizers(codes, k, w)
+            p, h, s = minimizers(codes, k, w, hpc=hpc)
             hs.append(h)
             cids.append(np.full(p.size, cid, dtype=np.int32))
             poss.append(p.astype(np.int64))
@@ -257,7 +291,7 @@ def find_chains(
     split/supplementary placements on disjoint read intervals are kept
     (`src/input_output.cpp:472-476`).
     """
-    p, h, s = minimizers(read_codes, index.k, index.w)
+    p, h, s = minimizers(read_codes, index.k, index.w, hpc=index.hpc)
     qidx, cid, tpos, tstr = index.lookup(h)
     return _chains_from_hits(
         index, len(read_codes), p, s, qidx, cid, tpos, tstr,
@@ -281,7 +315,7 @@ def find_chains_batch(
     contigs are dropped BEFORE chaining, so secondary-chain suppression
     cannot discard the allowed contig in favor of a better-scoring
     homologous one (the multi-draft polish case)."""
-    minis = [minimizers(c, index.k, index.w) for c in reads_codes]
+    minis = [minimizers(c, index.k, index.w, hpc=index.hpc) for c in reads_codes]
     sizes = np.array([m[1].size for m in minis], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     h_all = (

@@ -50,7 +50,7 @@ from .unzip import unzip
 # error-driven, `call_variants.cpp:508`).
 TECH_PRESETS: dict[str, dict] = {
     "ont": {"map": {"k": 15, "w": 10}},
-    "pacbio": {"map": {"k": 19, "w": 10}},
+    "pacbio": {"map": {"k": 19, "w": 10, "hpc": True}},
     "hifi": {"map": {"k": 19, "w": 19, "rescue": False, "max_divergence": 0.15}},
     "amplicon": {},
 }
