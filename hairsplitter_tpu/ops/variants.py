@@ -60,6 +60,11 @@ def suspect_mask(
     # validated); automatics keep the reference floor. Low-coverage strains
     # (~5x) have private-SNP columns with 4-5 ALT reads that the reference's
     # flat `>5` bar drops before the partition machinery can validate them.
+    err_rate=0.0,  # pooled error rate: the low floor adapts to the local
+    # noise level (expected same-allele error count per column scales with
+    # coverage x error), so high-coverage / high-error columns don't flood
+    # the robust filter with chance c2=4 columns (measured: 14%-error
+    # bursty reads tripled the kept-column count with the flat low floor)
 ):
     """Suspect / automatic column masks (reference rules, clean trimer decode).
 
@@ -89,7 +94,14 @@ def suspect_mask(
     # allele, so `c2 > 5*c3` silently re-raises the floor to 6 and drops
     # every private column of a ~5x strain before the robust filter can
     # weigh in. Strong (reference-floor) columns keep the 5x rule.
-    suspect = (c2 > min_reads_low) & (c2 > 2 * c3) & base
+    # The low floor ADAPTS to the column's noise level: ~cov*err/3 errors
+    # land on the second allele's central base by chance, so the admission
+    # bar is 1.5x that expectation (floored at min_reads_low)
+    cov = (c1 + c2 + c3).astype(np.float32)
+    noise_floor = np.maximum(
+        np.float32(min_reads_low), 1.5 * cov * np.float32(err_rate) / 3.0
+    )
+    suspect = (c2.astype(np.float32) > noise_floor) & (c2 > 2 * c3) & base
     strong = (c2 > min_reads) & (c2 > 5 * c3) & base
     suspect |= strong
     automatic = strong & (c2.astype(np.float32) > np.float32(auto_frac) * c1.astype(np.float32))

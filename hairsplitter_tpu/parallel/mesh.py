@@ -99,6 +99,29 @@ def phase_shard_step(mesh: Mesh, example=None):
     return fn, args
 
 
+def column_stats_shard_step(mesh: Mesh, pileup: np.ndarray):
+    """Stage-3's window column-stats kernel (`ops/variants.column_stats`:
+    per-position top-3 trimer counts + coverage) under the mesh: contigs
+    over 'ctg', pileup positions over 'pos'. Every statistic is
+    position-local, so sharding inserts no collectives and sharded ==
+    unsharded holds bit for bit. Returns (jitted fn, device-placed args)."""
+    from ..ops.variants import column_stats
+
+    batched = jax.vmap(column_stats)
+    s_pileup = NamedSharding(mesh, P("ctg", None, "pos"))
+    args = (jax.device_put(pileup, s_pileup),)
+    fn = jax.jit(
+        batched,
+        in_shardings=(s_pileup,),
+        out_shardings=(
+            NamedSharding(mesh, P("ctg", "pos", None)),
+            NamedSharding(mesh, P("ctg", "pos", None)),
+            NamedSharding(mesh, P("ctg", "pos")),
+        ),
+    )
+    return fn, args
+
+
 def make_map_example(n: int, spec, seed: int = 0, err: float = 0.05):
     """A batch of realistic DP jobs: queries + mutated targets with varied
     lengths (exercises the readout masks and traceback)."""

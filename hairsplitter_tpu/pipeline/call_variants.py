@@ -96,6 +96,13 @@ class VariantCallConfig:
     # clustering (skewed ~5x rare 0.912 with reference margins)
     corr_margin: float = 0.1
     corr_margin_min: float = 0.0
+    # minimum genomic span of a multi-column partition: real haplotype
+    # partitions recur over kilobases, while locally-correlated error
+    # BURSTS (the dominant real-ONT noise mode the i.i.d. model misses)
+    # produce column clusters confined to one ~60-100 bp burst — sharing
+    # the same bursting reads, they pass every per-pair gate. Span is the
+    # cheap discriminator.
+    min_partition_span: int = 150
     hifi_error_threshold: float = 0.015
     auto_frac: float = 0.33  # reference -u (hairsplitter.py:36)
     min_snp_spacing: int = 5
@@ -258,6 +265,11 @@ def robust_filter(
     part_votes: list[tuple[np.ndarray, np.ndarray]] = []  # (alt votes, ref votes) per read
     for members in clusters.values():
         members.sort(key=lambda s: columns[s].pos)
+        if (
+            len(members) >= 2
+            and columns[members[-1]].pos - columns[members[0]].pos < cfg.min_partition_span
+        ):
+            continue  # burst-confined cluster (see min_partition_span)
         anchor = members[0]
         midx = np.asarray(members)
         flips = flip[anchor, midx].copy()
@@ -406,6 +418,12 @@ class ContigPrep:
     mismatches: int
     cells: int
     win_stats: list = field(default_factory=list)
+    # contig positions whose base equals a neighbor (inside a homopolymer
+    # run): deletion alleles here are run-length miscalls, the dominant
+    # systematic long-read error — the trimer-context guard only catches
+    # deletions placed at the run INTERIOR, while the DP may place them at
+    # the run start where the context is the preceding non-run bases
+    hp_mask: np.ndarray | None = None
 
     @property
     def error_rate(self) -> float:
@@ -437,12 +455,18 @@ def prepare_contig_host(
         orient_read(encode_seq(read_seqs[a.read_idx]), a.strand) for a in alignments
     ]
     blocks = build_window_blocks(len(contig_seq), alignments, oriented, cfg.window)
+    hp = np.zeros(len(contig_seq), dtype=bool)
+    if len(contig_seq) > 1:
+        same = contig_codes[1:] == contig_codes[:-1]
+        hp[1:] |= same
+        hp[:-1] |= same
     prep = ContigPrep(
         contig=contig_name,
         length=len(contig_seq),
         n_reads=len(alignments),
         mismatches=0,
         cells=0,
+        hp_mask=hp,
     )
     codes_ws: list[np.ndarray] = []
     for blk in blocks:
@@ -561,17 +585,31 @@ def call_variants_from_prep(
             np.int32(min_reads),
             np.float32(cfg.auto_frac),
             min_reads_low=np.int32(min(min_reads, cfg.min_reads_suspect_low)),
+            err_rate=np.float32(error_rate),
         )
         sus = np.asarray(sus)
         auto = np.asarray(auto)
+        # contig-level homopolymer guard (see ContigPrep.hp_mask): deletion
+        # alleles inside hp runs are run-length miscalls whatever their
+        # trimer context says
+        t2 = tc[:, 1]
+        if prep.hp_mask is not None:
+            is_del = (t2 // 25) == GAP
+            hp_w = np.zeros(sus.size, dtype=bool)
+            span = prep.hp_mask[blk.start : blk.start + blk.length]
+            hp_w[: span.size] = span[: sus.size]
+            blocked = is_del & hp_w
+            sus &= ~blocked
+            auto &= ~blocked
         # rescue candidates: enough second-allele support to correlate, but
         # not suspect (reference re-scans the whole MSA, :699-760)
         central_ok = (tc[:, 0] // 25) != (tc[:, 1] // 25)
-        t2 = tc[:, 1]
         hp_ok = ((t2 // 25) != GAP) | (
             (((t2 // 5) % 5) != (tc[:, 0] // 25)) & ((t2 % 5) != (tc[:, 0] // 25))
         )
         resc = (~sus) & central_ok & hp_ok & (tn[:, 1] >= 3)
+        if prep.hp_mask is not None:
+            resc &= ~blocked
         for p in np.nonzero(sus[: blk.length])[0]:
             gpos = blk.start + int(p)
             if gpos - last_snp <= cfg.min_snp_spacing:

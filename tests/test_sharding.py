@@ -124,3 +124,40 @@ def test_map_shard_step_bit_identical():
         )
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_phase_shard_production_shapes_bit_identical():
+    """Round-5 #8: sharded == host at PRODUCTION-like shapes (R=512 reads,
+    S=256 SNP columns, 2048-position pileup blocks), not just toy sizes —
+    realistic padding/bucketing must survive the mesh."""
+    mesh = make_mesh(8)
+    ctg, pos = mesh.devices.shape
+    example = make_phase_example(C=2 * ctg, Rr=512, Pp=max(256 * pos, 2048),
+                                 S=max(64 * pos, 256), K=4)
+    fn, args = phase_shard_step(mesh, example)
+    err_s, adj_s, labels_s = fn(*args)
+    err_u, adj_u, labels_u = jax.jit(phase_contigs_batch)(*example)
+    assert float(err_s) == float(err_u)
+    np.testing.assert_array_equal(np.asarray(adj_s), np.asarray(adj_u))
+    np.testing.assert_array_equal(np.asarray(labels_s), np.asarray(labels_u))
+
+
+def test_column_stats_shard_matches_host():
+    """Stage-3's window column-stats kernel under the mesh: bit-identical
+    to the host numpy twin at production shapes."""
+    from hairsplitter_tpu.ops.variants import column_stats_host
+    from hairsplitter_tpu.parallel.mesh import column_stats_shard_step
+
+    mesh = make_mesh(8)
+    ctg, pos = mesh.devices.shape
+    example = make_phase_example(C=2 * ctg, Rr=512, Pp=max(256 * pos, 2048),
+                                 S=64, K=2)
+    pileup = example[0]
+    fn, args = column_stats_shard_step(mesh, pileup)
+    tc, tn, cov = fn(*args)
+    tc, tn, cov = np.asarray(tc), np.asarray(tn), np.asarray(cov)
+    for c in range(pileup.shape[0]):
+        htc, htn, hcov = column_stats_host(pileup[c])
+        np.testing.assert_array_equal(tc[c], htc)
+        np.testing.assert_array_equal(tn[c], htn)
+        np.testing.assert_array_equal(cov[c], hcov)
