@@ -306,6 +306,7 @@ def find_chains_batch(
     min_score_frac: float = 0.1,
     max_overlap_frac: float = 0.5,
     allowed_cids: list[int] | None = None,
+    _threaded: bool = True,
 ) -> list[list[Chain]]:
     """`find_chains` over many reads with ONE concatenated index lookup —
     the per-read searchsorted calls dominate the host seeding cost
@@ -314,7 +315,38 @@ def find_chains_batch(
     allowed_cids: optional per-read contig-id restriction. Hits on other
     contigs are dropped BEFORE chaining, so secondary-chain suppression
     cannot discard the allowed contig in favor of a better-scoring
-    homologous one (the multi-draft polish case)."""
+    homologous one (the multi-draft polish case).
+
+    Large batches split across a small thread pool: the native minimizer /
+    lookup / LIS calls release the GIL, so host seeding scales with cores
+    (it is the dominant warm-mapping cost once device dispatch is batched)."""
+    if _threaded and len(reads_codes) >= 64:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_threads = min(4, os.cpu_count() or 1)
+        if n_threads > 1:
+            step = -(-len(reads_codes) // n_threads)
+            spans = [
+                (lo, min(lo + step, len(reads_codes)))
+                for lo in range(0, len(reads_codes), step)
+            ]
+            with ThreadPoolExecutor(n_threads) as ex:
+                parts = list(
+                    ex.map(
+                        lambda se: find_chains_batch(
+                            index,
+                            reads_codes[se[0] : se[1]],
+                            min_anchors,
+                            min_score_frac,
+                            max_overlap_frac,
+                            allowed_cids[se[0] : se[1]] if allowed_cids is not None else None,
+                            _threaded=False,
+                        ),
+                        spans,
+                    )
+                )
+            return [c for part in parts for c in part]
     minis = [minimizers(c, index.k, index.w, hpc=index.hpc) for c in reads_codes]
     sizes = np.array([m[1].size for m in minis], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)])

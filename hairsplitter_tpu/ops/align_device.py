@@ -227,13 +227,17 @@ def align_traceback_rows_multi(
 def pack_nibbles_host(arr):
     """Host side: int8 [..., L] codes (all < 16) -> uint8 [..., ceil(L/2)],
     two codes per byte (low nibble = even column); odd L pads one zero
-    column that `_unpack_nibbles` truncates away."""
+    column that `_unpack_nibbles` truncates away. int8 -> uint8 is a
+    zero-copy view; the odd-width case copies into a preallocated buffer
+    instead of np.pad (both copies showed up in the mapping profile)."""
     import numpy as np
 
-    a = np.asarray(arr).astype(np.uint8)
+    a = np.asarray(arr)
+    a = a.view(np.uint8) if a.dtype == np.int8 else a.astype(np.uint8)
     if a.shape[-1] % 2:
-        pad = [(0, 0)] * (a.ndim - 1) + [(0, 1)]
-        a = np.pad(a, pad)
+        b = np.zeros(a.shape[:-1] + (a.shape[-1] + 1,), dtype=np.uint8)
+        b[..., :-1] = a
+        a = b
     return (a[..., 0::2] & 0xF) | (a[..., 1::2] << 4)
 
 
