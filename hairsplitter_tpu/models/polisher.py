@@ -129,7 +129,8 @@ class NNPolisher:
         return self.logits(feats).argmax(axis=1).astype(np.int8)[:L]
 
 
-def _realistic_training_pair(rng, L=2048, err=0.14, div=0.01, cov_lo=4, cov_hi=22):
+def _realistic_training_pair(rng, L=2048, err=0.14, div=0.01, cov_lo=4, cov_hi=22,
+                             hp_bias=False):
     """(features [L, F], labels [L], weights [L]) through the PRODUCTION
     alignment + pileup path: a truth genome, a diverged backbone with known
     per-position labels (substitutions -> truth base, backbone-only
@@ -167,16 +168,33 @@ def _realistic_training_pair(rng, L=2048, err=0.14, div=0.01, cov_lo=4, cov_hi=2
     Lb = len(backbone)
 
     cov = int(rng.integers(cov_lo, cov_hi))
-    sim = simulate_reads(
-        [decode_seq(truth)], coverage=cov, read_len=min(L, 1500),
-        rng=rng, sub_rate=err * 0.6, ins_rate=err * 0.2, del_rate=err * 0.2,
-    )
-    alns = map_reads({"b": decode_seq(backbone)}, sim.seqs)
+    if hp_bias:
+        # hp-run-length-biased reads (utils/sim2): teaches the net the
+        # SYSTEMATIC undercall majority consensus cannot fix — the central
+        # medaka value proposition (run detection needs the conv context)
+        from ..utils import sim2 as _s2
+
+        cfg2 = _s2.Sim2Config(
+            mean_len=min(L, 1500), min_len=300, base_error=err * 0.8,
+            hp_undercall=0.10, junk_rate=0.0,
+        )
+        s2 = _s2.generate(
+            [decode_seq(truth)], coverage=cov, cfg=cfg2,
+            seed=int(rng.integers(1 << 30)),
+        )
+        read_seqs = s2.seqs
+    else:
+        sim = simulate_reads(
+            [decode_seq(truth)], coverage=cov, read_len=min(L, 1500),
+            rng=rng, sub_rate=err * 0.6, ins_rate=err * 0.2, del_rate=err * 0.2,
+        )
+        read_seqs = sim.seqs
+    alns = map_reads({"b": decode_seq(backbone)}, read_seqs)
     counts = np.zeros((Lb, 5), np.int32)
     cover = np.zeros(Lb, np.int32)
     ins_events = np.zeros(Lb, np.int32)
     for a in alns:
-        oriented = orient_read(encode_seq(sim.seqs[a.read_idx]), a.strand)
+        oriented = orient_read(encode_seq(read_seqs[a.read_idx]), a.strand)
         tpos, tri, it, _ic = alignment_cells_full(a, oriented)
         cents = (np.asarray(tri, np.int16) // 25).astype(np.int8)
         counts[tpos, cents] += 1
@@ -223,8 +241,18 @@ def train_polisher(
     if realistic:
         # generate the corpus once (mapping-heavy), then shuffle mini-batches
         pool_x, pool_y, pool_w = [], [], []
-        for _ in range(n_pairs):
-            f, l, w = _realistic_training_pair(rng, L=max(L, 1024))
+        for i in range(n_pairs):
+            # 50/50 i.i.d.-error and hp-biased (sim2) pairs so the net
+            # handles both regimes
+            # hp pairs carry EXTRA backbone substitutions: hp-heavy
+            # training otherwise teaches blanket backbone trust, and the
+            # net stops correcting true SNP columns on diverged drafts
+            # (measured: 16 vs the vote's 5 substitution errors polishing a
+            # 1%-diverged backbone)
+            f, l, w = _realistic_training_pair(
+                rng, L=max(L, 1024), hp_bias=i % 2 == 1,
+                div=0.025 if i % 2 == 1 else 0.01,
+            )
             for lo in range(0, len(l) - L + 1, L):
                 pool_x.append(f[lo : lo + L])
                 pool_y.append(l[lo : lo + L])

@@ -318,7 +318,19 @@ def create_new_contigs(
                 name, reads_g = job[0], job[2]
                 cur = new_graph.segments[name]
                 nn_seq = polish_iterative(cur, reads_g, rounds=1, base_caller=base_caller)
-                if nn_seq != cur and _backbone_badness(nn_seq, reads_g) <= _backbone_badness(cur, reads_g):
+                # acceptance: read fit must not worsen AND the output must
+                # not shrink — reads that systematically undercall
+                # homopolymer runs FIT a shortened draft better, so the fit
+                # gate alone happily accepts deletions of true hp bases
+                # (measured on hp-biased sim2 reads: hap recovery 0.966 ->
+                # 0.853 with the fit-only gate). The per-column caller
+                # cannot insert, so net shrinkage is exactly the failure
+                # signature.
+                if (
+                    nn_seq != cur
+                    and len(nn_seq) >= len(cur) - max(2, 0.0005 * len(cur))
+                    and _backbone_badness(nn_seq, reads_g) <= _backbone_badness(cur, reads_g)
+                ):
                     new_graph.segments[name] = nn_seq
 
     # original inter-contig links -> attach to terminal interval groups
