@@ -54,7 +54,7 @@ def _n50(lengths: list[int]) -> int:
 
 
 def run_metagenome(root: str, seed: int, n_species: int = 10, length: int = 100_000,
-                   coverage: float = 30.0, err: float = 0.10) -> dict:
+                   coverage: float = 30.0, err: float = 0.10, use_sim2: bool = False) -> dict:
     rng = np.random.default_rng(seed)
     species = []
     strain_counts = [2, 3] * (n_species // 2) + [2] * (n_species % 2)
@@ -63,16 +63,21 @@ def run_metagenome(root: str, seed: int, n_species: int = 10, length: int = 100_
         species.append([base] + [S.mutate(base, 0.01, rng)[0] for _ in range(ns - 1)])
 
     asm = AssemblyGraph()
-    names, seqs = [], []
-    per_species_reads: list[S.SimReads] = []
+    per_species_reads = []
     for si, strains in enumerate(species):
         asm.add_segment(f"sp{si}", strains[0], depth=coverage)
-        r = S.simulate_reads(
-            strains, coverage=coverage / len(strains), read_len=8000, rng=rng,
-            sub_rate=err * 0.6, ins_rate=err * 0.2, del_rate=err * 0.2,
-            uniform_edges=True,
-        )
-        per_species_reads.append(r)
+        if use_sim2:
+            from hairsplitter_tpu.utils import sim2
+
+            r = sim2.generate(strains, coverage=coverage / len(strains), seed=seed * 100 + si)
+            per_species_reads.append(r)
+        else:
+            r = S.simulate_reads(
+                strains, coverage=coverage / len(strains), read_len=8000, rng=rng,
+                sub_rate=err * 0.6, ins_rate=err * 0.2, del_rate=err * 0.2,
+                uniform_edges=True,
+            )
+            per_species_reads.append(r)
     all_names, all_seqs = [], []
     for si, r in enumerate(per_species_reads):
         for n, s in zip(r.names, r.seqs):
@@ -105,7 +110,7 @@ def run_metagenome(root: str, seed: int, n_species: int = 10, length: int = 100_
         recoveries.extend(ev.haplotype_recovery)
         switches += ev.total_switch_errors
     return {
-        "scenario": "metagenome",
+        "scenario": "metagenome" + ("+sim2" if use_sim2 else ""),
         "contigs": len(g.segments),
         "n50": _n50(lens),
         "recovery_mean": round(float(np.mean(recoveries)), 4),
@@ -170,7 +175,8 @@ def main() -> None:
     os.makedirs(root, exist_ok=True)
     try:
         if args.scenario == "metagenome":
-            res = run_metagenome(root, args.seed, n_species=args.species, length=args.length)
+            res = run_metagenome(root, args.seed, n_species=args.species,
+                                 length=args.length, use_sim2=args.sim2)
         else:
             res = run_skewed(
                 root, args.seed, rare_cov=args.rare_cov, length=args.length,
